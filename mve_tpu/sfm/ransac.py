@@ -1,0 +1,148 @@
+"""RANSAC estimators (reference: libs/sfm/ransac_fundamental.cc,
+ransac_homography.cc, ransac_pose_p3p.cc).
+
+TPU-native shape: instead of the reference's sequential hypothesis loop,
+ALL max_iterations hypotheses are solved and scored in one batched device
+evaluation — minimal-sample solves are a batched SVD / closed form, and
+inlier counting is one (B, N) reduction. Random minimal samples are drawn
+on host (cheap) with numpy RNG, matching the reference's use of a seeded
+RNG (util::system::rand).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import fundamental as fu
+from . import homography as ho
+from . import p3p as p3p_mod
+
+
+@dataclasses.dataclass
+class RansacOptions:
+    max_iterations: int = 1000
+    threshold: float = 0.0015  # ransac_fundamental.h:88-90 default
+    verbose_output: bool = False
+
+
+def _sample_indices(rng: np.random.RandomState, n: int, k: int, batch: int) -> np.ndarray:
+    """(batch, k) unique-per-row random index samples."""
+    out = np.empty((batch, k), np.int64)
+    for i in range(batch):
+        out[i] = rng.choice(n, size=k, replace=False)
+    return out
+
+
+@dataclasses.dataclass
+class RansacResult:
+    model: np.ndarray
+    inliers: np.ndarray  # indices into the correspondence array
+    score: int = 0
+
+
+def ransac_fundamental(p1, p2, opts: RansacOptions = RansacOptions(),
+                       rng: np.random.RandomState | None = None) -> RansacResult:
+    """8-point RANSAC for F with Sampson scoring
+    (ransac_fundamental.cc:107)."""
+    rng = rng or np.random.RandomState(0)
+    p1 = np.asarray(p1, np.float32)
+    p2 = np.asarray(p2, np.float32)
+    n = len(p1)
+    if n < 8:
+        raise ValueError("At least 8 correspondences required")
+    B = opts.max_iterations
+    idx = _sample_indices(rng, n, 8, B)
+    s1 = jnp.asarray(p1[idx])  # (B, 8, 2)
+    s2 = jnp.asarray(p2[idx])
+    F = fu.fundamental_8_point(s1, s2)  # (B, 3, 3)
+    d = fu.sampson_distance(F, jnp.asarray(p1)[None], jnp.asarray(p2)[None])  # (B, N)
+    # Sampson distance is in squared units; compare to threshold^2
+    # (ransac_fundamental.cc:98).
+    inlier_mask = np.asarray(d < opts.threshold**2)
+    counts = inlier_mask.sum(axis=1)
+    best = int(np.argmax(counts))
+    best_mask = inlier_mask[best]
+    return RansacResult(
+        model=np.asarray(F)[best],
+        inliers=np.nonzero(best_mask)[0].astype(np.int32),
+        score=int(counts[best]),
+    )
+
+
+def ransac_homography(p1, p2, opts: RansacOptions | None = None,
+                      rng: np.random.RandomState | None = None) -> RansacResult:
+    """4-point DLT RANSAC for H with symmetric transfer error scoring
+    (ransac_homography.cc:100)."""
+    opts = opts or RansacOptions(threshold=0.005)  # ransac_homography.h:85-87
+    rng = rng or np.random.RandomState(0)
+    p1 = np.asarray(p1, np.float32)
+    p2 = np.asarray(p2, np.float32)
+    n = len(p1)
+    if n < 4:
+        raise ValueError("At least 4 correspondences required")
+    B = opts.max_iterations
+    idx = _sample_indices(rng, n, 4, B)
+    H = ho.homography_dlt(jnp.asarray(p1[idx]), jnp.asarray(p2[idx]))
+    err = ho.symmetric_transfer_error(H, jnp.asarray(p1)[None], jnp.asarray(p2)[None])
+    inlier_mask = np.asarray(err < opts.threshold**2)
+    counts = inlier_mask.sum(axis=1)
+    best = int(np.argmax(counts))
+    return RansacResult(
+        model=np.asarray(H)[best],
+        inliers=np.nonzero(inlier_mask[best])[0].astype(np.int32),
+        score=int(counts[best]),
+    )
+
+
+@dataclasses.dataclass
+class RansacPoseResult:
+    R: np.ndarray
+    t: np.ndarray
+    inliers: np.ndarray
+
+
+def ransac_pose_p3p(points_3d, points_2d, K, opts: RansacOptions | None = None,
+                    rng: np.random.RandomState | None = None) -> RansacPoseResult:
+    """P3P RANSAC for 2D-3D pose (ransac_pose_p3p.cc:124).
+
+    points_2d are normalized image coordinates; threshold likewise
+    (ransac_pose_p3p.h:31-55). Scores all 4 P3P roots of every sample.
+    """
+    opts = opts or RansacOptions(threshold=0.005)
+    rng = rng or np.random.RandomState(0)
+    points_3d = np.asarray(points_3d, np.float64)
+    points_2d = np.asarray(points_2d, np.float64)
+    n = len(points_3d)
+    if n < 3:
+        raise ValueError("At least 3 correspondences required")
+    K = np.asarray(K, np.float64)
+    Kinv = np.linalg.inv(K)
+    h2d = np.concatenate([points_2d, np.ones((n, 1))], axis=1)
+    bearings = (Kinv @ h2d.T).T
+    bearings /= np.linalg.norm(bearings, axis=1, keepdims=True)
+
+    B = opts.max_iterations
+    idx = _sample_indices(rng, n, 3, B)
+    Rs, ts, valid = p3p_mod.pose_p3p(
+        jnp.asarray(points_3d[idx], jnp.float32), jnp.asarray(bearings[idx], jnp.float32))
+    # Score: reprojection error in normalized image coords for all
+    # (B, 4) candidate poses over all N points.
+    X = jnp.asarray(points_3d, jnp.float32)  # (N, 3)
+    Kj = jnp.asarray(K, jnp.float32)
+    pc = jnp.einsum("bkij,nj->bkni", Rs, X) + ts[:, :, None, :]  # (B,4,N,3)
+    z_ok = pc[..., 2] > 1e-9
+    proj = jnp.einsum("ij,bknj->bkni", Kj, pc)
+    uv = proj[..., :2] / jnp.where(jnp.abs(proj[..., 2:]) < 1e-20, 1e-20, proj[..., 2:])
+    err = jnp.linalg.norm(uv - jnp.asarray(points_2d, jnp.float32)[None, None], axis=-1)
+    inl = (err < opts.threshold) & z_ok & valid[..., None]
+    counts = np.asarray(inl.sum(axis=-1))  # (B, 4)
+    bi, bk = np.unravel_index(np.argmax(counts), counts.shape)
+    best_mask = np.asarray(inl)[bi, bk]
+    return RansacPoseResult(
+        R=np.asarray(Rs)[bi, bk].astype(np.float64),
+        t=np.asarray(ts)[bi, bk].astype(np.float64),
+        inliers=np.nonzero(best_mask)[0].astype(np.int32),
+    )
