@@ -1,0 +1,203 @@
+"""Levenberg-Marquardt driver (reference: bundle_adjustment.cc:26-201).
+
+Host-side trust-region loop exactly mirroring the reference:
+TRR init 1000, halved on failed step; on success the gain-ratio rule
+TRR *= 1 / max(1/3, 1 - (2g - 1)^3) with
+g = delta_mse * num_obs / predicted_decrease. Each iteration runs three
+jitted device calls: build_system, schur/cg solve, trial evaluation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import core
+from .problem import BAProblem, BundleMode
+
+TRUST_REGION_RADIUS_INIT = 1000.0
+TRUST_REGION_RADIUS_DECREMENT = 0.5
+
+
+@dataclasses.dataclass
+class BAOptions:
+    """bundle_adjustment.h:61-74 + :139-147 defaults."""
+
+    bundle_mode: BundleMode = BundleMode.CAMERAS_AND_POINTS
+    fixed_intrinsics: bool = False
+    lm_max_iterations: int = 50
+    lm_min_iterations: int = 0
+    lm_delta_threshold: float = 1e-4
+    lm_mse_threshold: float = 1e-8
+    cg_max_iterations: int = 1000
+    verbose_output: bool = False
+    dtype: object = np.float32
+
+
+@dataclasses.dataclass
+class BAStatus:
+    """bundle_adjustment.h:76-87."""
+
+    initial_mse: float = 0.0
+    final_mse: float = 0.0
+    num_lm_iterations: int = 0
+    num_lm_successful_iterations: int = 0
+    num_lm_unsuccessful_iterations: int = 0
+    num_cg_iterations: int = 0
+    runtime_ms: int = 0
+
+
+def _pad(arr, n, axis=0):
+    pad_n = n - arr.shape[axis]
+    if pad_n <= 0:
+        return arr
+    widths = [(0, 0)] * arr.ndim
+    widths[axis] = (0, pad_n)
+    return np.pad(arr, widths)
+
+
+def _bucket(n, quantum=64):
+    return max(quantum, (n + quantum - 1) // quantum * quantum)
+
+
+class BundleAdjustment:
+    """Mirrors sfm::ba::BundleAdjustment (bundle_adjustment.h:51-134)."""
+
+    def __init__(self, options: BAOptions | None = None):
+        self.opts = options or BAOptions()
+        self.status = BAStatus()
+
+    def optimize(self, problem: BAProblem) -> BAStatus:
+        t0 = time.perf_counter()
+        self.status = BAStatus()
+        self._lm_optimize(problem)
+        self.status.runtime_ms = int((time.perf_counter() - t0) * 1000)
+        return self.status
+
+    # ------------------------------------------------------------------
+    def _lm_optimize(self, problem: BAProblem) -> None:
+        opts = self.opts
+        dtype = opts.dtype
+        mode = int(opts.bundle_mode)
+
+        intr_np, trans_np, rot_np, cam_const = problem.camera_arrays()
+        points_np, pt_const = problem.point_array()
+        obs_np, cam_idx_np, pt_idx_np = problem.observation_arrays()
+
+        C, P, O = len(intr_np), len(points_np), len(obs_np)
+        Cp, Pp, Op = _bucket(C, 16), _bucket(P, 256), _bucket(O, 512)
+
+        intr = jnp.asarray(_pad(intr_np, Cp).astype(dtype))
+        # Padded cameras get f=1 so the residual function stays finite.
+        if Cp > C:
+            intr = intr.at[C:, 0].set(1.0)
+        trans = jnp.asarray(_pad(trans_np, Cp).astype(dtype))
+        rot_pad = _pad(rot_np, Cp)
+        rot_pad[C:] = np.eye(3)
+        rot = jnp.asarray(rot_pad.astype(dtype))
+        points = jnp.asarray(_pad(points_np, Pp).astype(dtype))
+        if Pp > P:
+            points = points.at[P:, 2].set(1.0)
+        obs = jnp.asarray(_pad(obs_np, Op).astype(dtype))
+        cam_idx = jnp.asarray(np.pad(cam_idx_np, (0, Op - O)))
+        pt_idx = jnp.asarray(np.pad(pt_idx_np, (0, Op - O)))
+        obs_valid = jnp.asarray(np.arange(Op) < O)
+
+        trr = TRUST_REGION_RADIUS_INIT
+
+        f = core.compute_residuals(intr, trans, rot, points, obs, cam_idx, pt_idx, obs_valid)
+        current_mse = float(core.compute_mse(f, O))
+        self.status.initial_mse = current_mse
+        self.status.final_mse = current_mse
+
+        lm_iter = 0
+        while True:
+            if (lm_iter + 1 > opts.lm_min_iterations
+                    and current_mse < opts.lm_mse_threshold):
+                if opts.verbose_output:
+                    print("BA: Satisfied MSE threshold.")
+                break
+
+            sys = core.build_system(
+                intr, trans, rot, points, obs, cam_idx, pt_idx, obs_valid,
+                mode=mode, fixed_intrinsics=opts.fixed_intrinsics)
+
+            if mode == int(BundleMode.CAMERAS_AND_POINTS):
+                delta_cam, delta_pt, pred, n_cg = core.solve_schur(
+                    sys["Jc"], sys["Jp"], cam_idx, pt_idx,
+                    sys["B"], sys["Cb"], sys["v"], sys["w"],
+                    jnp.asarray(trr, dtype), cg_max_iter=opts.cg_max_iterations)
+                n_cg = int(n_cg)
+            elif mode == int(BundleMode.CAMERAS):
+                delta_cam, pred, n_cg = core.solve_cameras_only(
+                    sys["Jc"], cam_idx, sys["B"], sys["v"],
+                    jnp.asarray(trr, dtype), cg_max_iter=opts.cg_max_iterations)
+                delta_pt = jnp.zeros_like(points)
+                n_cg = int(n_cg)
+            else:  # POINTS
+                delta_pt, pred = core.solve_points_only(
+                    sys["Cb"], sys["w"], jnp.asarray(trr, dtype))
+                delta_cam = jnp.zeros((intr.shape[0], 9), dtype)
+                n_cg = 0
+
+            # Trial update + new MSE.
+            new_intr, new_trans, new_rot, new_points = core.apply_update(
+                intr, trans, rot, points, delta_cam, delta_pt,
+                fixed_intrinsics=opts.fixed_intrinsics)
+            f_new = core.compute_residuals(
+                new_intr, new_trans, new_rot, new_points, obs, cam_idx, pt_idx, obs_valid)
+            new_mse = float(core.compute_mse(f_new, O))
+            delta_mse = current_mse - new_mse
+            delta_mse_ratio = 1.0 - new_mse / max(current_mse, 1e-300)
+            self.status.num_cg_iterations += n_cg
+            successful = delta_mse > 0.0
+
+            if successful:
+                if opts.verbose_output:
+                    print(f"BA: #{lm_iter:2d} success, MSE {current_mse:.6e} -> "
+                          f"{new_mse:.6e}, CG {n_cg:3d}, TRR {trr:g}")
+                self.status.num_lm_iterations += 1
+                self.status.num_lm_successful_iterations += 1
+                intr, trans, rot, points = new_intr, new_trans, new_rot, new_points
+                current_mse = new_mse
+                pred_f = float(pred)
+                gain_ratio = delta_mse * O / pred_f if pred_f != 0.0 else 1.0
+                trust_update = 1.0 / max(1.0 / 3.0, 1.0 - (2.0 * gain_ratio - 1.0) ** 3)
+                trr *= trust_update
+            else:
+                if opts.verbose_output:
+                    print(f"BA: #{lm_iter:2d} failure, MSE {current_mse:.6e}, "
+                          f"CG {n_cg:3d}, TRR {trr:g}")
+                self.status.num_lm_iterations += 1
+                self.status.num_lm_unsuccessful_iterations += 1
+                trr *= TRUST_REGION_RADIUS_DECREMENT
+
+            lm_iter += 1
+            if lm_iter < opts.lm_min_iterations:
+                continue
+            if lm_iter >= opts.lm_max_iterations:
+                if opts.verbose_output:
+                    print(f"BA: Reached maximum LM iterations of {opts.lm_max_iterations}")
+                break
+            if successful and delta_mse_ratio < opts.lm_delta_threshold:
+                if opts.verbose_output:
+                    print(f"BA: Satisfied delta mse ratio threshold of {opts.lm_delta_threshold}")
+                break
+
+        self.status.final_mse = current_mse
+        problem.update_from_arrays(
+            np.asarray(intr)[:C].astype(np.float64),
+            np.asarray(trans)[:C].astype(np.float64),
+            np.asarray(rot)[:C].astype(np.float64),
+            np.asarray(points)[:P].astype(np.float64),
+        )
+
+    def print_status(self) -> None:
+        s = self.status
+        print(f"BA: MSE {s.initial_mse} -> {s.final_mse}, "
+              f"{s.num_lm_iterations} LM iters ({s.num_lm_successful_iterations} ok, "
+              f"{s.num_lm_unsuccessful_iterations} fail), "
+              f"{s.num_cg_iterations} CG iters, {s.runtime_ms} ms")
