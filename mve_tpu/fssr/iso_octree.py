@@ -1,0 +1,227 @@
+"""Implicit-function evaluation on a sparse voxel grid
+(reference: libs/fssr/iso_octree.cc, octree.cc influence_query).
+
+Host side builds the voxel set and the voxel/sample influence pairs with
+vectorized grid hashing (samples bucketed by scale octave, searchsorted
+range lookups — the batched replacement for the reference's pointer
+octree influence_query). The device evaluates all pairs in one fused
+kernel (basis.evaluate_pairs) and segment-sums per voxel.
+
+Reference semantics preserved: influence radius 3 x sample scale, the
+per-voxel scale filter (sort influencing samples by scale, drop samples
+with scale > 2 x the 10th-percentile scale, iso_octree.cc:104-112), and
+the VoxelData fields {value, conf, deriv, scale, color}.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .basis import evaluate_pairs
+from .sample import SampleList
+
+
+@dataclasses.dataclass
+class VoxelGrid:
+    origin: np.ndarray      # (3,) world position of voxel (0,0,0)
+    cell_size: float
+    dims: np.ndarray        # (3,) number of voxels per axis (corners)
+    voxel_codes: np.ndarray # (V,) sorted linear codes of evaluated voxels
+    value: np.ndarray       # (V,)
+    conf: np.ndarray        # (V,)
+    deriv: np.ndarray       # (V, 3)
+    scale: np.ndarray       # (V,)
+    color: np.ndarray       # (V, 3)
+    active_cells: np.ndarray  # (C, 3) integer cell coords with all 8 corners
+
+    def voxel_position(self, codes):
+        iz = codes // (self.dims[0] * self.dims[1])
+        rem = codes % (self.dims[0] * self.dims[1])
+        iy = rem // self.dims[0]
+        ix = rem % self.dims[0]
+        return self.origin[None, :] + np.stack([ix, iy, iz], axis=-1) * self.cell_size
+
+
+class IsoOctree:
+    """Voxel evaluation engine (mirrors fssr::IsoOctree's compute_voxels)."""
+
+    def __init__(self, cell_size: float | None = None,
+                 max_grid_dim: int = 1024, pair_chunk: int = 2_000_000):
+        self.cell_size = cell_size
+        self.max_grid_dim = max_grid_dim
+        self.pair_chunk = pair_chunk
+
+    def compute_voxels(self, samples: SampleList) -> VoxelGrid:
+        if len(samples) == 0:
+            raise ValueError("No samples given")
+        pos = samples.pos.astype(np.float64)
+        scale = samples.scale.astype(np.float64)
+
+        # --- grid resolution: the octree level most samples insert at
+        # corresponds to a cell of about the median sample scale.
+        h = self.cell_size or float(np.median(scale))
+        aabb_min = (pos - 3.0 * scale[:, None]).min(axis=0)
+        aabb_max = (pos + 3.0 * scale[:, None]).max(axis=0)
+        dims_f = (aabb_max - aabb_min) / h + 2
+        if dims_f.max() > self.max_grid_dim:
+            h = float((aabb_max - aabb_min).max() / (self.max_grid_dim - 2))
+            dims_f = (aabb_max - aabb_min) / h + 2
+        origin = aabb_min - h
+        dims = np.ceil(dims_f).astype(np.int64) + 2
+
+        # --- active cells: near-surface region around each sample.
+        cell = np.floor((pos - origin) / h).astype(np.int64)
+        r_cells = np.minimum(np.ceil(np.maximum(scale, h) / h).astype(np.int64), 3)
+        cells = []
+        for r in np.unique(r_cells):
+            sub = cell[r_cells == r]
+            rng = np.arange(-r, r + 1)
+            ox, oy, oz = np.meshgrid(rng, rng, rng, indexing="ij")
+            offs = np.stack([ox.reshape(-1), oy.reshape(-1), oz.reshape(-1)], axis=1)
+            cells.append((sub[:, None, :] + offs[None, :, :]).reshape(-1, 3))
+        cells = np.unique(np.concatenate(cells), axis=0)
+        cells = cells[(cells >= 0).all(axis=1) & (cells < (dims - 1)[None, :] - 1).all(axis=1)]
+
+        # --- voxel set: unique corners of active cells.
+        stride_y = dims[0]
+        stride_z = dims[0] * dims[1]
+        corner_offsets = np.array(
+            [[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0],
+             [0, 0, 1], [1, 0, 1], [0, 1, 1], [1, 1, 1]], np.int64)
+        corners = (cells[:, None, :] + corner_offsets[None, :, :]).reshape(-1, 3)
+        corner_codes = corners[:, 0] + corners[:, 1] * stride_y + corners[:, 2] * stride_z
+        voxel_codes = np.unique(corner_codes)
+        V = len(voxel_codes)
+        vx = voxel_codes % stride_y
+        vy = (voxel_codes % stride_z) // stride_y
+        vz = voxel_codes // stride_z
+        voxel_pos = origin[None, :] + np.stack([vx, vy, vz], axis=-1) * h
+
+        # --- influence pairs via per-octave grid hashing.
+        pair_v, pair_s = self._influence_pairs(voxel_pos, pos, scale, h)
+
+        # --- per-voxel scale filter (iso_octree.cc:104-112).
+        pair_v, pair_s = self._scale_filter(pair_v, pair_s, scale, V)
+
+        # --- device evaluation (chunked segment sums).
+        value = np.zeros(V)
+        conf = np.zeros(V)
+        deriv = np.zeros((V, 3))
+        col = np.zeros((V, 3))
+        cw_total = np.zeros(V)
+        sw_total = np.zeros(V)
+        P = len(pair_v)
+        for start in range(0, P, self.pair_chunk):
+            sl = slice(start, min(start + self.pair_chunk, P))
+            pv = pair_v[sl]
+            ps = pair_s[sl]
+            out = evaluate_pairs(
+                jnp.asarray(voxel_pos[pv], jnp.float32),
+                jnp.asarray(pos[ps], jnp.float32),
+                jnp.asarray(samples.normal[ps], jnp.float32),
+                jnp.asarray(scale[ps], jnp.float32),
+                jnp.asarray(samples.confidence[ps], jnp.float32),
+                jnp.asarray(samples.color[ps], jnp.float32),
+            )
+            seg = jnp.asarray(pv)
+            value += np.asarray(jax.ops.segment_sum(out["vw"], seg, num_segments=V), np.float64)
+            conf += np.asarray(jax.ops.segment_sum(out["w"], seg, num_segments=V), np.float64)
+            deriv += np.asarray(jax.ops.segment_sum(out["dvw"], seg, num_segments=V), np.float64)
+            col += np.asarray(jax.ops.segment_sum(out["c"], seg, num_segments=V), np.float64)
+            cw_total += np.asarray(jax.ops.segment_sum(out["cw"], seg, num_segments=V), np.float64)
+            sw_total += np.asarray(jax.ops.segment_sum(out["sw"], seg, num_segments=V), np.float64)
+
+        # F = sum(f w c)/sum(w c); deriv via quotient rule
+        # (iso_octree.cc:121-169).
+        w_safe = np.where(conf > 0, conf, 1.0)
+        f_value = value / w_safe
+        # deriv currently holds sum(d(fw)); quotient rule needs dw sums too —
+        # recompute via second pass accumulators is costly; we use the
+        # dominant term (sum d(fw))/sum(w) which matches the reference at
+        # the zero crossing where total_value ~ 0.
+        f_deriv = deriv / w_safe[:, None]
+        cw_safe = np.where(cw_total > 0, cw_total, 1.0)
+        return VoxelGrid(
+            origin=origin, cell_size=h, dims=dims, voxel_codes=voxel_codes,
+            value=np.where(conf > 0, f_value, 0.0),
+            conf=conf,
+            deriv=f_deriv,
+            scale=sw_total / cw_safe,
+            color=col / cw_safe[:, None],
+            active_cells=cells,
+        )
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _influence_pairs(voxel_pos, pos, scale, h):
+        """All (voxel, sample) pairs with |v - p| < 3 * scale."""
+        pair_v_list, pair_s_list = [], []
+        levels = np.clip(np.floor(np.log2(np.maximum(scale / h, 1e-3))).astype(int), -20, 30)
+        for lv in np.unique(levels):
+            sel = np.nonzero(levels == lv)[0]
+            max_r = 3.0 * scale[sel].max()
+            cell = max_r  # hash cell equals max influence radius
+            s_cell = np.floor(pos[sel] / cell).astype(np.int64)
+            v_cell = np.floor(voxel_pos / cell).astype(np.int64)
+            # linear codes with offset to avoid negatives
+            off = np.minimum(s_cell.min(axis=0), v_cell.min(axis=0)) - 1
+            span = np.maximum(s_cell.max(axis=0), v_cell.max(axis=0)) - off + 2
+            def code(c):
+                c = c - off
+                return (c[:, 2] * span[1] + c[:, 1]) * span[0] + c[:, 0]
+            s_codes = code(s_cell)
+            order = np.argsort(s_codes, kind="stable")
+            s_codes_sorted = s_codes[order]
+            sel_sorted = sel[order]
+            for dz in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        q = v_cell + np.array([dx, dy, dz])
+                        q_codes = code(q)
+                        lo = np.searchsorted(s_codes_sorted, q_codes, "left")
+                        hi = np.searchsorted(s_codes_sorted, q_codes, "right")
+                        counts = hi - lo
+                        nz = np.nonzero(counts)[0]
+                        if len(nz) == 0:
+                            continue
+                        reps = counts[nz]
+                        v_ids = np.repeat(nz, reps)
+                        starts = lo[nz]
+                        # ranges [start, start+rep) into sel_sorted
+                        idx = np.concatenate(
+                            [np.arange(s, s + r) for s, r in zip(starts, reps)])
+                        s_ids = sel_sorted[idx]
+                        d = voxel_pos[v_ids] - pos[s_ids]
+                        ok = np.sum(d * d, axis=1) < (3.0 * scale[s_ids]) ** 2
+                        pair_v_list.append(v_ids[ok])
+                        pair_s_list.append(s_ids[ok])
+        if not pair_v_list:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        return np.concatenate(pair_v_list), np.concatenate(pair_s_list)
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _scale_filter(pair_v, pair_s, scale, num_voxels):
+        """Drop pairs with sample scale > 2 x the voxel's 10th-percentile
+        influencing scale (iso_octree.cc:104-112)."""
+        if len(pair_v) == 0:
+            return pair_v, pair_s
+        pscale = scale[pair_s]
+        order = np.lexsort((pscale, pair_v))
+        pv = pair_v[order]
+        ps = pair_s[order]
+        psc = pscale[order]
+        # Segment boundaries.
+        counts = np.bincount(pv, minlength=num_voxels)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        nth = starts + counts // 10
+        nth = np.minimum(nth, starts + np.maximum(counts - 1, 0))
+        thresh_per_voxel = np.zeros(num_voxels)
+        nonzero = counts > 0
+        thresh_per_voxel[nonzero] = psc[nth[nonzero]] * 2.0
+        keep = psc <= thresh_per_voxel[pv]
+        return pv[keep], ps[keep]

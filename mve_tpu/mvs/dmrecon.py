@@ -1,0 +1,291 @@
+"""Per-view depth map reconstruction driver (reference:
+libs/dmrecon/dmrecon.cc).
+
+Pipeline per reference view (same stages as DMRecon::start, :90-145):
+  analyze features -> global view selection -> dense initialization from
+  sparse features -> batched plane sweep + PatchMatch propagation +
+  parabolic refinement (replacing sequential region growing,
+  dmrecon.cc:334-434) -> write depth-L<s>/conf-L<s>/dz-L<s>/undist-L<s>
+  embeddings with ray-length depths.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core import image_tools
+from ..core.scene import Scene
+from .patch import ncc_score
+from .settings import Settings
+from .view_selection import global_view_selection
+
+
+def _to_gray(img: np.ndarray) -> np.ndarray:
+    f = image_tools.to_float(img)
+    if f.shape[2] >= 3:
+        return np.asarray(image_tools.desaturate(f, "luminance"))[:, :, 0]
+    return f[:, :, 0]
+
+
+def _level_dims(w: int, h: int, level: int):
+    for _ in range(level):
+        w = (w + 1) >> 1
+        h = (h + 1) >> 1
+    return w, h
+
+
+def _image_at_level(img_gray: np.ndarray, level: int) -> np.ndarray:
+    out = jnp.asarray(img_gray[:, :, None])
+    for _ in range(level):
+        out = image_tools.rescale_half_size_gaussian(out)
+    return np.asarray(out)[:, :, 0]
+
+
+def _fill_sparse(depth_sparse: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """Dense completion of sparse seeds: pyramid downsample (valid mean)
+    then coarse-to-fine fill of holes."""
+    levels = [(depth_sparse, mask.astype(np.float64))]
+    d, m = depth_sparse, mask.astype(np.float64)
+    while d.shape[0] > 2 and d.shape[1] > 2:
+        H2, W2 = (d.shape[0] + 1) // 2, (d.shape[1] + 1) // 2
+        dpad = np.pad(d * m, ((0, d.shape[0] % 2), (0, d.shape[1] % 2)))
+        mpad = np.pad(m, ((0, d.shape[0] % 2), (0, d.shape[1] % 2)))
+        ds = dpad[0::2, 0::2] + dpad[1::2, 0::2] + dpad[0::2, 1::2] + dpad[1::2, 1::2]
+        ms = mpad[0::2, 0::2] + mpad[1::2, 0::2] + mpad[0::2, 1::2] + mpad[1::2, 1::2]
+        d = np.where(ms > 0, ds / np.maximum(ms, 1e-30), 0.0)
+        m = (ms > 0).astype(np.float64)
+        levels.append((d, m))
+        if m.all():
+            break
+    # Coarse-to-fine: fill holes from the next-coarser level.
+    d_coarse, m_coarse = levels[-1]
+    if not m_coarse.all():
+        fallback = d_coarse[m_coarse > 0].mean() if (m_coarse > 0).any() else 1.0
+        d_coarse = np.where(m_coarse > 0, d_coarse, fallback)
+    for d_fine, m_fine in reversed(levels[:-1]):
+        up = np.repeat(np.repeat(d_coarse, 2, 0), 2, 1)[: d_fine.shape[0], : d_fine.shape[1]]
+        d_coarse = np.where(m_fine > 0, d_fine, up)
+    return d_coarse
+
+
+class DMRecon:
+    """Mirrors mvs::DMRecon (dmrecon.h:40-68)."""
+
+    def __init__(self, scene: Scene, settings: Settings):
+        self.scene = scene
+        self.settings = settings
+        self.filled_ratio = 0.0
+
+    def start(self) -> None:
+        s = self.settings
+        scene = self.scene
+        bundle = scene.get_bundle()
+        views = scene.get_views()
+        ref_view = views[s.ref_view_nr]
+        if ref_view is None or not ref_view.camera.valid:
+            raise ValueError(f"view {s.ref_view_nr} invalid")
+
+        # --- gather bundle feature visibility (dmrecon.cc analyzeFeatures)
+        positions = bundle.feature_positions()
+        V = len(views)
+        F = len(positions)
+        vis = np.zeros((V, F), bool)
+        for fi, feat in enumerate(bundle.features):
+            inside = np.all(feat.pos >= s.aabb_min) and np.all(feat.pos <= s.aabb_max)
+            if not inside:
+                continue
+            for ref in feat.refs:
+                if 0 <= ref.view_id < V:
+                    vis[ref.view_id, fi] = True
+
+        cameras = [v.camera if v is not None else None for v in views]
+        full_sizes = []
+        for v in views:
+            if v is None or not v.has_image(s.image_embedding):
+                full_sizes.append((0, 0))
+            else:
+                full_sizes.append(v.get_image_size(s.image_embedding))
+
+        # --- global view selection (global_view_selection.cc)
+        selected = global_view_selection(
+            positions, vis, cameras, full_sizes, s.ref_view_nr,
+            max_views=s.global_vs_max, min_parallax=s.min_parallax)
+        selected = [v for v in selected
+                    if views[v] is not None and views[v].has_image(s.image_embedding)]
+        if len(selected) < s.nr_recon_neighbors:
+            raise RuntimeError(
+                f"view {s.ref_view_nr}: only {len(selected)} neighbors selected")
+
+        # --- load images at working level
+        ref_img_full = ref_view.get_image(s.image_embedding)
+        ref_gray = _to_gray(ref_img_full)
+        ref_level = _image_at_level(ref_gray, s.scale)
+        H, W = ref_level.shape
+        ref_cam = ref_view.camera
+        ref_wh = (W, H)
+
+        neigh_imgs = []
+        Ts, ts = [], []
+        for v in selected:
+            g = _image_at_level(_to_gray(views[v].get_image(s.image_embedding)), s.scale)
+            neigh_imgs.append(g)
+            w2, h2 = _level_dims(*full_sizes[v], s.scale)
+            T, tv = ref_cam.reprojection(views[v].camera, ref_wh, (w2, h2))
+            Ts.append(T)
+            ts.append(tv)
+        Hn = max(g.shape[0] for g in neigh_imgs)
+        Wn = max(g.shape[1] for g in neigh_imgs)
+        neigh = np.full((len(neigh_imgs), Hn, Wn), -1e3, np.float32)
+        for j, g in enumerate(neigh_imgs):
+            neigh[j, : g.shape[0], : g.shape[1]] = g
+
+        # --- ray geometry for the reference view
+        Ki = ref_cam.inverse_calibration(W, H)
+        ys, xs = np.mgrid[0:H, 0:W].astype(np.float64)
+        dirs = np.stack([xs + 0.5, ys + 0.5, np.ones_like(xs)], axis=-1) @ Ki.T
+        ray_norm = np.linalg.norm(dirs, axis=-1)
+        ray_z = (dirs[..., 2] / ray_norm).astype(np.float32)  # z of unit ray
+
+        # --- feature seeds: project features of the ref view, depth =
+        # ray length (dmrecon.cc processFeatures seeds)
+        feat_ids = np.nonzero(vis[s.ref_view_nr])[0]
+        seed_depth = np.zeros((H, W), np.float64)
+        seed_mask = np.zeros((H, W), bool)
+        if len(feat_ids):
+            pts = positions[feat_ids]
+            pc = (ref_cam.rot @ pts.T).T + ref_cam.trans
+            K = ref_cam.calibration(W, H)
+            proj = (K @ pc.T).T
+            u = proj[:, 0] / proj[:, 2] - 0.5
+            vpix = proj[:, 1] / proj[:, 2] - 0.5
+            ray_len = np.linalg.norm(pc, axis=1)
+            ok = (pc[:, 2] > 0) & (u >= 0) & (u < W) & (vpix >= 0) & (vpix < H)
+            ui = np.round(u[ok]).astype(int)
+            vi = np.round(vpix[ok]).astype(int)
+            seed_depth[vi, ui] = ray_len[ok]
+            seed_mask[vi, ui] = True
+        if seed_mask.sum() < 3:
+            raise RuntimeError(f"view {s.ref_view_nr}: too few feature seeds")
+
+        dmin = float(seed_depth[seed_mask].min()) * 0.7
+        dmax = float(seed_depth[seed_mask].max()) * 1.4
+        init_depth = _fill_sparse(seed_depth, seed_mask).astype(np.float32)
+
+        # --- batched optimization
+        depth, score = self._optimize(
+            jnp.asarray(ref_level, jnp.float32), jnp.asarray(neigh, jnp.float32),
+            jnp.asarray(np.stack(Ts), jnp.float32), jnp.asarray(np.stack(ts), jnp.float32),
+            jnp.asarray(ray_z), jnp.asarray(init_depth), dmin, dmax)
+        depth = np.asarray(depth)
+        score = np.asarray(score)
+
+        # --- confidence + acceptance (patch_optimization.cc:130-131)
+        conf = (score - s.accept_ncc) / (1.0 - s.accept_ncc)
+        conf = np.maximum(conf, 0.0)
+        accepted = conf > 0.0
+        depth = np.where(accepted, depth, 0.0).astype(np.float32)
+        self.filled_ratio = float(accepted.mean())
+
+        # --- write embeddings (dmrecon.cc:120-145)
+        ref_view.set_image(f"depth-L{s.scale}", depth[:, :, None])
+        if s.keep_conf_map:
+            ref_view.set_image(f"conf-L{s.scale}", conf.astype(np.float32)[:, :, None])
+        if s.keep_dz_map:
+            z = depth * np.asarray(ray_z)
+            dzj, dzi = np.gradient(z)
+            dz = np.stack([dzi, dzj], axis=-1).astype(np.float32)
+            ref_view.set_image(f"dz-L{s.scale}", dz)
+        if s.scale != 0:
+            lvl_img = np.asarray(_image_at_level_color(ref_img_full, s.scale))
+            ref_view.set_image(f"undist-L{s.scale}", lvl_img)
+        if not s.quiet:
+            print(f"View {s.ref_view_nr}: filled {100.0 * self.filled_ratio:.1f}% "
+                  f"({len(selected)} neighbors)")
+
+    # ------------------------------------------------------------------
+    def _optimize(self, ref, neigh, T, tvec, ray_z, init_depth, dmin, dmax):
+        """Plane sweep + propagation + parabolic refinement, all jitted."""
+        s = self.settings
+        fw = s.filter_width
+        k = s.nr_recon_neighbors
+
+        def score_of(d):
+            return ncc_score(ref, neigh, T, tvec, ray_z, d, filter_width=fw, top_k=k)
+
+        best_d = init_depth
+        best_s = score_of(best_d)
+
+        # Global sweep around the initialization: geometric fan of scales
+        # plus absolute planes across [dmin, dmax].
+        n_planes = s.num_sweep_planes
+        rel = np.geomspace(0.75, 1.3333, max(n_planes // 2, 2))
+        absd = np.geomspace(max(dmin, 1e-4), dmax, max(n_planes - len(rel), 2))
+        for f in rel:
+            cand = best_d * f
+            cs = score_of(cand)
+            better = cs > best_s
+            best_d = jnp.where(better, cand, best_d)
+            best_s = jnp.where(better, cs, best_s)
+        for dv in absd:
+            cand = jnp.full_like(best_d, dv)
+            cs = score_of(cand)
+            better = cs > best_s
+            best_d = jnp.where(better, cand, best_d)
+            best_s = jnp.where(better, cs, best_s)
+
+        # PatchMatch-style propagation: shifted-neighbor candidates.
+        shifts = ((0, 1), (0, -1), (1, 0), (-1, 0), (0, 3), (3, 0), (0, -3), (-3, 0))
+        for it in range(s.num_propagation_iters):
+            for (dy, dx) in shifts:
+                cand = jnp.roll(best_d, (dy, dx), axis=(0, 1))
+                cs = score_of(cand)
+                better = cs > best_s
+                best_d = jnp.where(better, cand, best_d)
+                best_s = jnp.where(better, cs, best_s)
+            # Random-scale perturbation, shrinking with iteration.
+            eps = 0.05 * (0.5 ** it)
+            for f in (1.0 - eps, 1.0 + eps):
+                cand = best_d * f
+                cs = score_of(cand)
+                better = cs > best_s
+                best_d = jnp.where(better, cand, best_d)
+                best_s = jnp.where(better, cs, best_s)
+
+        # Parabolic sub-candidate refinement (replaces the reference's
+        # Gauss-Newton depth steps, patch_optimization.cc
+        # optimizeDepthOnly).
+        for step in range(s.num_refine_steps):
+            eps = 0.02 * (0.5 ** step)
+            d_lo = best_d * (1.0 - eps)
+            d_hi = best_d * (1.0 + eps)
+            s_lo = score_of(d_lo)
+            s_hi = score_of(d_hi)
+            denom = s_lo - 2.0 * best_s + s_hi
+            offset = jnp.where(
+                jnp.abs(denom) > 1e-12,
+                jnp.clip(0.5 * (s_lo - s_hi) / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom), -1.0, 1.0),
+                0.0)
+            cand = best_d * (1.0 + offset * eps)
+            cs = score_of(cand)
+            better = cs > best_s
+            best_d = jnp.where(better, cand, best_d)
+            best_s = jnp.where(better, cs, best_s)
+            # Also keep the better of the bracket ends.
+            better_lo = s_lo > best_s
+            best_d = jnp.where(better_lo, d_lo, best_d)
+            best_s = jnp.where(better_lo, s_lo, best_s)
+            better_hi = s_hi > best_s
+            best_d = jnp.where(better_hi, d_hi, best_d)
+            best_s = jnp.where(better_hi, s_hi, best_s)
+
+        best_d = jnp.clip(best_d, dmin * 0.5, dmax * 2.0)
+        return best_d, best_s
+
+
+def _image_at_level_color(img: np.ndarray, level: int) -> np.ndarray:
+    out = jnp.asarray(image_tools.to_float(img))
+    for _ in range(level):
+        out = image_tools.rescale_half_size_gaussian(out)
+    return image_tools.to_byte(np.asarray(out))

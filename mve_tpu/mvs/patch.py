@@ -1,0 +1,124 @@
+"""Batched NCC patch scoring (reference: libs/dmrecon/patch_sampler.cc
+getFastNCC / fastColAndDeriv).
+
+For every reference pixel simultaneously: sample a filter_width^2 patch
+in each neighbor view through the reprojection operator
+xd = T xs z + t (camera.h:105-125) at the pixel's candidate depth, and
+compute normalized cross-correlation against the reference patch. The
+reference's per-pixel scalar loops become one (H, W, J) tensor program:
+the patch loop is unrolled (25 taps), each tap is a bilinear gather.
+
+Depth convention: candidate depths are RAY LENGTHS (MVE convention,
+depthmap.h:55-64); conversion to z-depth uses the per-pixel unit-ray z
+component, precomputed once.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def make_patch_offsets(filter_width: int):
+    r = filter_width // 2
+    offs = []
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            offs.append((dy, dx))
+    return tuple(offs)
+
+
+@functools.partial(jax.jit, static_argnames=("filter_width", "top_k"))
+def ncc_score(ref_img, neigh_imgs, T, tvec, ray_z, depth,
+              filter_width: int = 5, top_k: int = 4):
+    """Combined NCC score for a candidate ray-length depth map.
+
+    ref_img: (H, W) float32 grayscale reference at the working level.
+    neigh_imgs: (J, Hn, Wn) neighbor grayscales (same level).
+    T: (J, 3, 3), tvec: (J, 3) — reprojection operators ref -> neighbor.
+    ray_z: (H, W) z-component of the unit viewing ray per ref pixel.
+    depth: (H, W) candidate ray-length depths.
+
+    Returns (score (H, W), mean NCC over the top_k neighbors).
+    """
+    H, W = ref_img.shape
+    J = neigh_imgs.shape[0]
+    Hn, Wn = neigh_imgs.shape[1], neigh_imgs.shape[2]
+    offsets = make_patch_offsets(filter_width)
+    n_taps = len(offsets)
+
+    ys, xs = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                          jnp.arange(W, dtype=jnp.float32), indexing="ij")
+    z = depth * ray_z  # ray length -> z-depth
+
+    # Running sums for NCC (per neighbor).
+    sum_r = jnp.zeros((H, W))
+    sum_rr = jnp.zeros((H, W))
+    sum_n = jnp.zeros((J, H, W))
+    sum_nn = jnp.zeros((J, H, W))
+    sum_rn = jnp.zeros((J, H, W))
+    valid = jnp.ones((J, H, W), bool)
+
+    ref_pad = jnp.pad(ref_img, filter_width // 2, mode="edge")
+    r = filter_width // 2
+
+    for (dy, dx) in offsets:
+        # Reference tap (edge-padded shift).
+        rv = jax.lax.dynamic_slice(ref_pad, (r + dy, r + dx), (H, W))
+        sum_r = sum_r + rv
+        sum_rr = sum_rr + rv * rv
+        # Warp tap position through each neighbor. The reprojection
+        # operator works in K coordinates where pixel centers sit at
+        # integer + 0.5 (camera.h:80-86), hence the +-0.5 shifts.
+        qx = xs + dx + 0.5
+        qy = ys + dy + 0.5
+        # h = T @ (qx, qy, 1) * z + t   -> (J, H, W, 3)
+        hx = (T[:, 0, 0, None, None] * qx + T[:, 0, 1, None, None] * qy
+              + T[:, 0, 2, None, None]) * z + tvec[:, 0, None, None]
+        hy = (T[:, 1, 0, None, None] * qx + T[:, 1, 1, None, None] * qy
+              + T[:, 1, 2, None, None]) * z + tvec[:, 1, None, None]
+        hz = (T[:, 2, 0, None, None] * qx + T[:, 2, 1, None, None] * qy
+              + T[:, 2, 2, None, None]) * z + tvec[:, 2, None, None]
+        hz_safe = jnp.where(jnp.abs(hz) < 1e-20, 1e-20, hz)
+        u = hx / hz_safe - 0.5
+        v = hy / hz_safe - 0.5
+        inb = (u >= 0) & (u <= Wn - 1) & (v >= 0) & (v <= Hn - 1) & (hz > 0)
+        valid = valid & inb
+        # Bilinear gather from each neighbor.
+        u0 = jnp.clip(jnp.floor(u), 0, Wn - 2)
+        v0 = jnp.clip(jnp.floor(v), 0, Hn - 2)
+        fu = jnp.clip(u - u0, 0.0, 1.0)
+        fv = jnp.clip(v - v0, 0.0, 1.0)
+        u0i = u0.astype(jnp.int32)
+        v0i = v0.astype(jnp.int32)
+        jidx = jnp.arange(J)[:, None, None]
+        p00 = neigh_imgs[jidx, v0i, u0i]
+        p01 = neigh_imgs[jidx, v0i, u0i + 1]
+        p10 = neigh_imgs[jidx, v0i + 1, u0i]
+        p11 = neigh_imgs[jidx, v0i + 1, u0i + 1]
+        nv = (p00 * (1 - fu) * (1 - fv) + p01 * fu * (1 - fv)
+              + p10 * (1 - fu) * fv + p11 * fu * fv)
+        sum_n = sum_n + nv
+        sum_nn = sum_nn + nv * nv
+        sum_rn = sum_rn + rv[None] * nv
+
+    inv_n = 1.0 / n_taps
+    mean_r = sum_r * inv_n
+    mean_n = sum_n * inv_n
+    var_r = sum_rr * inv_n - mean_r * mean_r
+    var_n = sum_nn * inv_n - mean_n * mean_n
+    cov = sum_rn * inv_n - mean_r[None] * mean_n
+    denom = jnp.sqrt(jnp.maximum(var_r[None] * var_n, 1e-12))
+    ncc = cov / denom  # (J, H, W)
+    ncc = jnp.where(valid, ncc, -1.0)
+
+    # Mean over the top_k best neighbors per pixel (the batched analog of
+    # local view selection's "best 4 of the global set").
+    k = min(top_k, J)
+    top = jax.lax.top_k(jnp.moveaxis(ncc, 0, -1), k)[0]  # (H, W, k)
+    n_valid = jnp.sum(valid, axis=0)  # (H, W)
+    score = jnp.mean(top, axis=-1)
+    score = jnp.where(n_valid >= k, score, -1.0)
+    return score

@@ -1,0 +1,36 @@
+"""MVS settings (reference: libs/dmrecon/settings.h:22-52 defaults)."""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Settings:
+    ref_view_nr: int = 0
+    image_embedding: str = "undistorted"
+    filter_width: int = 5          # NCC patch is filter_width^2
+    min_ncc: float = 0.3
+    min_parallax: float = 10.0     # degrees, global view selection
+    accept_ncc: float = 0.6
+    min_refine_diff: float = 0.001
+    max_iterations: int = 20
+    nr_recon_neighbors: int = 4
+    global_vs_max: int = 20
+    scale: int = 0                 # pyramid level
+    use_color_scale: bool = True
+    write_ply_file: bool = False
+    aabb_min: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.full(3, -np.finfo(np.float32).max))
+    aabb_max: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.full(3, np.finfo(np.float32).max))
+    keep_dz_map: bool = True
+    keep_conf_map: bool = True
+    quiet: bool = False
+    # TPU-recast knobs (no reference equivalent — control the batched
+    # sweep that replaces sequential region growing):
+    num_sweep_planes: int = 48     # initial depth candidates per pixel
+    num_propagation_iters: int = 8
+    num_refine_steps: int = 3

@@ -1,0 +1,143 @@
+"""Synthetic scene generation shared by MVS/pipeline tests and bench.
+
+Renders views of a textured plane (exact analytic rendering: each pixel's
+viewing ray is intersected with the plane and the texture is sampled
+bilinearly), builds an on-disk MVE scene with cameras + bundle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mve_tpu.core import CameraInfo, Scene, View
+from mve_tpu.core.bundle import Bundle, Feature2D, Feature3D
+from mve_tpu.math.rotation import rodrigues_to_matrix
+
+
+def make_texture(size=512, seed=0, octaves=4, smooth_sigma=4.0):
+    """Multi-scale random texture, band-limited so that bilinear samples
+    from slightly different positions stay correlated (without the final
+    blur, per-texel noise aliases between views and kills NCC)."""
+    from scipy.ndimage import gaussian_filter
+
+    rng = np.random.RandomState(seed)
+    tex = np.zeros((size, size), np.float64)
+    for o in range(octaves):
+        n = size >> (octaves - 1 - o)
+        layer = rng.rand(n, n)
+        rep = size // n
+        layer = np.repeat(np.repeat(layer, rep, 0), rep, 1)
+        tex += layer / (2 ** (octaves - 1 - o))
+    tex = gaussian_filter(tex, smooth_sigma, mode="wrap")
+    tex -= tex.min()
+    tex /= max(tex.max(), 1e-9)
+    return tex
+
+
+def _sample_texture(tex, u, v):
+    """Bilinear sample; u, v in [0, 1]."""
+    H, W = tex.shape
+    x = np.clip(u * (W - 1), 0, W - 1.001)
+    y = np.clip(v * (H - 1), 0, H - 1.001)
+    x0 = np.floor(x).astype(int)
+    y0 = np.floor(y).astype(int)
+    fx = x - x0
+    fy = y - y0
+    return (tex[y0, x0] * (1 - fx) * (1 - fy) + tex[y0, x0 + 1] * fx * (1 - fy)
+            + tex[y0 + 1, x0] * (1 - fx) * fy + tex[y0 + 1, x0 + 1] * fx * fy)
+
+
+PLANE_Z = 5.0
+PLANE_EXTENT = 4.0  # plane spans [-E, E]^2 at z = PLANE_Z
+
+
+def make_cameras(n_views=5, flen=0.9, spread=0.45, seed=0):
+    """Reference camera at origin looking +z, neighbors offset/rotated."""
+    cams = []
+    rng = np.random.RandomState(seed)
+    for i in range(n_views):
+        if i == 0:
+            center = np.zeros(3)
+            R = np.eye(3)
+        else:
+            angle = 2 * np.pi * (i - 1) / max(n_views - 1, 1)
+            center = np.array([np.cos(angle), np.sin(angle), 0.0]) * spread
+            center[2] += rng.randn() * 0.02
+            rot = np.array([0.0, 0.0, rng.randn() * 0.01])
+            R = np.asarray(rodrigues_to_matrix(rot), np.float64)
+        cam = CameraInfo(flen=flen)
+        cam.rot = R.astype(np.float32)
+        cam.trans = (-R @ center).astype(np.float32)
+        cams.append(cam)
+    return cams
+
+
+def render_view(tex, cam: CameraInfo, width: int, height: int) -> np.ndarray:
+    """Render the textured plane z=PLANE_Z from a camera; returns (H,W,3) u8."""
+    Ki = cam.inverse_calibration(width, height)
+    R = cam.rot.astype(np.float64)
+    t = cam.trans.astype(np.float64)
+    center = -R.T @ t
+    ys, xs = np.mgrid[0:height, 0:width].astype(np.float64)
+    pix = np.stack([xs + 0.5, ys + 0.5, np.ones_like(xs)], axis=-1)
+    dirs_cam = pix @ Ki.T
+    dirs_world = dirs_cam @ R  # R^T @ d for each pixel
+    # Intersect with plane z = PLANE_Z.
+    tt = (PLANE_Z - center[2]) / dirs_world[..., 2]
+    px = center[0] + tt * dirs_world[..., 0]
+    py = center[1] + tt * dirs_world[..., 1]
+    u = (px + PLANE_EXTENT) / (2 * PLANE_EXTENT)
+    v = (py + PLANE_EXTENT) / (2 * PLANE_EXTENT)
+    gray = _sample_texture(tex, np.clip(u, 0, 1), np.clip(v, 0, 1))
+    img = (gray * 255).astype(np.uint8)
+    return np.stack([img] * 3, axis=-1)
+
+
+def expected_ray_depth(cam: CameraInfo, width: int, height: int) -> np.ndarray:
+    """Analytic ray-length depth of the plane for every pixel."""
+    Ki = cam.inverse_calibration(width, height)
+    R = cam.rot.astype(np.float64)
+    t = cam.trans.astype(np.float64)
+    center = -R.T @ t
+    ys, xs = np.mgrid[0:height, 0:width].astype(np.float64)
+    pix = np.stack([xs + 0.5, ys + 0.5, np.ones_like(xs)], axis=-1)
+    dirs_world = (pix @ Ki.T) @ R
+    tt = (PLANE_Z - center[2]) / dirs_world[..., 2]
+    return tt * np.linalg.norm(dirs_world, axis=-1)
+
+
+def make_plane_scene(path: str, n_views=5, width=96, height=72,
+                     n_features=60, seed=0):
+    """Build a full on-disk scene: views with undistorted images + bundle."""
+    tex = make_texture(seed=seed)
+    cams = make_cameras(n_views)
+    scene = Scene.create(path)
+    for i, cam in enumerate(cams):
+        view = View.create(scene.view_dir_for_id(i), i)
+        view.set_camera(cam)
+        view.set_image("undistorted", render_view(tex, cam, width, height))
+        scene.add_view(view)
+    scene.save_views()
+
+    # Bundle: grid of plane points observed in all views.
+    rng = np.random.RandomState(seed)
+    bundle = Bundle()
+    bundle.cameras = cams
+    side = int(np.ceil(np.sqrt(n_features)))
+    gx, gy = np.meshgrid(np.linspace(-0.8, 0.8, side), np.linspace(-0.8, 0.8, side))
+    pts = np.stack([gx.reshape(-1) * PLANE_EXTENT * 0.5,
+                    gy.reshape(-1) * PLANE_EXTENT * 0.5,
+                    np.full(side * side, PLANE_Z)], axis=1)[:n_features]
+    for pi, p in enumerate(pts):
+        refs = []
+        for vi, cam in enumerate(cams):
+            pc = cam.rot.astype(np.float64) @ p + cam.trans
+            if pc[2] <= 0:
+                continue
+            uv = pc[:2] / pc[2] * cam.flen  # normalized obs (unused here)
+            refs.append(Feature2D(vi, pi, uv.astype(np.float32)))
+        bundle.features.append(Feature3D(p.astype(np.float32),
+                                         np.array([0.5, 0.5, 0.5], np.float32), refs))
+    scene.set_bundle(bundle)
+    scene.save_scene()
+    return scene

@@ -1,0 +1,54 @@
+"""MVS depth-map tests on an analytically-rendered plane scene."""
+
+import numpy as np
+import pytest
+
+from mve_tpu.core import Scene
+from mve_tpu.mvs import DMRecon, Settings
+
+from tests.synthetic import make_plane_scene, expected_ray_depth
+
+
+@pytest.fixture(scope="module")
+def plane_scene(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("mvs") / "scene")
+    make_plane_scene(path, n_views=5, width=96, height=72)
+    return path
+
+
+def test_dmrecon_plane_depth(plane_scene):
+    scene = Scene(plane_scene)
+    settings = Settings(ref_view_nr=0, scale=0,
+                        num_sweep_planes=16, num_propagation_iters=4)
+    recon = DMRecon(scene, settings)
+    recon.start()
+
+    view = scene.get_view_by_id(0)
+    depth = view.get_image("depth-L0")[:, :, 0]
+    conf = view.get_image("conf-L0")[:, :, 0]
+    assert recon.filled_ratio > 0.5, f"filled only {recon.filled_ratio:.2f}"
+
+    w, h = view.get_image_size("undistorted")
+    expected = expected_ray_depth(view.camera, w, h)
+    valid = depth > 0
+    rel_err = np.abs(depth[valid] - expected[valid]) / expected[valid]
+    assert np.median(rel_err) < 0.02, f"median depth error {np.median(rel_err):.4f}"
+    assert conf.max() <= 1.0 and conf.min() >= 0.0
+
+
+def test_dmrecon_scale_level(plane_scene):
+    scene = Scene(plane_scene)
+    settings = Settings(ref_view_nr=1, scale=1,
+                        num_sweep_planes=12, num_propagation_iters=3)
+    DMRecon(scene, settings).start()
+    view = scene.get_view_by_id(1)
+    depth = view.get_image("depth-L1")[:, :, 0]
+    und = view.get_image("undist-L1")
+    assert depth.shape == (36, 48)
+    assert und.shape[:2] == (36, 48)
+    w_half, h_half = 48, 36
+    expected = expected_ray_depth(view.camera, w_half, h_half)
+    valid = depth > 0
+    assert valid.mean() > 0.4
+    rel_err = np.abs(depth[valid] - expected[valid]) / expected[valid]
+    assert np.median(rel_err) < 0.03
