@@ -1,0 +1,79 @@
+"""dmrecon: per-view MVS depth maps (reference: apps/dmrecon/dmrecon.cc).
+
+Runs DMRecon for all (or selected) views at pyramid level -s; skips views
+whose depth embedding already exists unless --force.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from ..core import Scene
+from ..mvs import DMRecon, Settings
+from ..utils.timer import WallTimer
+
+
+def reconstruct_views(scene_path: str, *, scale: int = 0, view_ids=None,
+                      max_pixels: int = 0, force: bool = False,
+                      settings: Settings | None = None,
+                      verbose: bool = True) -> int:
+    scene = Scene(scene_path)
+    views = scene.get_views()
+    done = 0
+    base = settings or Settings()
+    for i, view in enumerate(views):
+        if view is None or not view.camera.valid:
+            continue
+        if view_ids is not None and i not in view_ids:
+            continue
+        s = scale
+        if max_pixels > 0 and view.has_image(base.image_embedding):
+            w, h = view.get_image_size(base.image_embedding)
+            s = 0
+            while (w >> s) * (h >> s) > max_pixels:
+                s += 1
+        if not force and view.has_image(f"depth-L{s}"):
+            if verbose:
+                print(f"View {i}: depth-L{s} exists, skipping.")
+            continue
+        import dataclasses
+        st = dataclasses.replace(base, ref_view_nr=i, scale=s)
+        timer = WallTimer()
+        try:
+            recon = DMRecon(scene, st)
+            recon.start()
+        except (RuntimeError, ValueError) as exc:
+            if verbose:
+                print(f"View {i}: {exc}")
+            continue
+        view.save_view()
+        view.cache_cleanup()
+        done += 1
+        if verbose:
+            print(f"View {i}: MVS took {timer.get_elapsed()}ms.")
+    return done
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="dmrecon", description="Multi-view stereo.")
+    p.add_argument("scene", help="Scene directory")
+    p.add_argument("-s", "--scale", type=int, default=0, help="Pyramid level")
+    p.add_argument("--max-pixels", type=int, default=0,
+                   help="Select scale so images are below ARG pixels")
+    p.add_argument("--view-ids", type=str, default="",
+                   help="Comma-separated view IDs to reconstruct [all]")
+    p.add_argument("-f", "--force", action="store_true",
+                   help="Reconstruct even if depth embedding exists")
+    args = p.parse_args(argv)
+    ids = None
+    if args.view_ids:
+        ids = set(int(x) for x in args.view_ids.split(","))
+    n = reconstruct_views(args.scene, scale=args.scale, view_ids=ids,
+                          max_pixels=args.max_pixels, force=args.force)
+    print(f"Reconstructed {n} depth maps.")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -158,6 +158,15 @@ class View:
             return (img / 257).astype(np.uint8)
         return np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint8)
 
+    def set_original_image(self, image: np.ndarray) -> None:
+        """Install the immutable "original" embedding (used only at scene
+        creation time by makescene; set_image refuses to touch it)."""
+        image = np.asarray(image)
+        if image.ndim == 2:
+            image = image[:, :, None]
+        proxy = _Proxy("original", data=image, dirty=True)
+        self._images["original"] = proxy
+
     def set_image(self, name: str, image: np.ndarray) -> None:
         if name == "original":
             raise ValueError('the "original" embedding is immutable (view.cc set_image)')

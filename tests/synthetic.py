@@ -106,6 +106,65 @@ def expected_ray_depth(cam: CameraInfo, width: int, height: int) -> np.ndarray:
     return tt * np.linalg.norm(dirs_world, axis=-1)
 
 
+NEAR_Z = 3.5
+NEAR_BOUNDS = (-1.6, 0.4, -1.2, 1.0)  # x0, x1, y0, y1 of the near patch
+
+
+def render_two_plane_view(tex_far, tex_near, cam: CameraInfo,
+                          width: int, height: int) -> np.ndarray:
+    """Render background plane z=PLANE_Z plus a nearer textured patch at
+    z=NEAR_Z — a non-planar scene SfM can initialize on (pure planes are
+    rejected by the homography test, bundler_init_pair.cc:62-70)."""
+    Ki = cam.inverse_calibration(width, height)
+    R = cam.rot.astype(np.float64)
+    t = cam.trans.astype(np.float64)
+    center = -R.T @ t
+    ys, xs = np.mgrid[0:height, 0:width].astype(np.float64)
+    pix = np.stack([xs + 0.5, ys + 0.5, np.ones_like(xs)], axis=-1)
+    dirs_world = (pix @ Ki.T) @ R
+
+    def hit(z_plane):
+        tt = (z_plane - center[2]) / dirs_world[..., 2]
+        px = center[0] + tt * dirs_world[..., 0]
+        py = center[1] + tt * dirs_world[..., 1]
+        return px, py
+
+    fx, fy = hit(PLANE_Z)
+    u = (fx + PLANE_EXTENT) / (2 * PLANE_EXTENT)
+    v = (fy + PLANE_EXTENT) / (2 * PLANE_EXTENT)
+    gray = _sample_texture(tex_far, np.clip(u, 0, 1), np.clip(v, 0, 1))
+
+    nx, ny = hit(NEAR_Z)
+    x0, x1, y0, y1 = NEAR_BOUNDS
+    near_mask = (nx >= x0) & (nx <= x1) & (ny >= y0) & (ny <= y1)
+    nu = (nx - x0) / (x1 - x0)
+    nv = (ny - y0) / (y1 - y0)
+    near_gray = _sample_texture(tex_near, np.clip(nu, 0, 1), np.clip(nv, 0, 1))
+    gray = np.where(near_mask, near_gray, gray)
+    img = (gray * 255).astype(np.uint8)
+    return np.stack([img] * 3, axis=-1)
+
+
+def make_two_plane_scene(path: str, n_views=6, width=240, height=180, seed=0,
+                         with_cameras=True):
+    """Scene with ORIGINAL images only (as makescene would create) for the
+    full sfmrecon pipeline. Ground-truth cameras returned separately."""
+    tex_far = make_texture(seed=seed, smooth_sigma=3.0)
+    tex_near = make_texture(seed=seed + 100, smooth_sigma=3.0)
+    cams = make_cameras(n_views, spread=0.55, seed=seed)
+    scene = Scene.create(path)
+    for i, cam in enumerate(cams):
+        view = View.create(scene.view_dir_for_id(i), i)
+        img = render_two_plane_view(tex_far, tex_near, cam, width, height)
+        view.set_original_image(img)
+        if with_cameras:
+            view.set_camera(cam)
+        view.save_view()
+        scene.add_view(view)
+    scene.save_views()
+    return scene, cams
+
+
 def make_plane_scene(path: str, n_views=5, width=96, height=72,
                      n_features=60, seed=0):
     """Build a full on-disk scene: views with undistorted images + bundle."""
