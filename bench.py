@@ -1,0 +1,115 @@
+"""Benchmark: full reconstruction pipeline wall-clock on a deterministic
+synthetic dataset (10 views, 640x480, two textured planes).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The pipeline measured is sfmrecon -> dmrecon(-s1) -> scene2pset ->
+fssrecon, matching BASELINE.json's "full pipeline" config. The baseline
+number in bench_baseline.json is the reference MVE (C++/OpenMP, this
+machine's CPUs) running its own pipeline on the same rendered images —
+see bench_baseline.json for the measurement details. vs_baseline > 1
+means this framework is faster end-to-end.
+
+A warm-up run primes XLA's compilation cache first (the reference has no
+compile step; steady-state throughput is the comparable quantity).
+"""
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_VIEWS = 10
+WIDTH, HEIGHT = 640, 480
+SEED = 42
+MVS_SCALE = 2
+
+
+def build_dataset(path: str):
+    from tests.synthetic import make_two_plane_scene
+
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    make_two_plane_scene(path, n_views=N_VIEWS, width=WIDTH, height=HEIGHT,
+                         seed=SEED, with_cameras=False)
+
+
+def run_pipeline(scene_path: str, out_dir: str, verbose: bool = False) -> dict:
+    from mve_tpu.apps.sfmrecon import sfm_reconstruct
+    from mve_tpu.apps.dmrecon import reconstruct_views
+    from mve_tpu.apps.scene2pset import scene_to_pointset
+    from mve_tpu.apps.fssrecon import fssr_reconstruct
+    from mve_tpu.mvs import Settings
+
+    t = {}
+    t0 = time.perf_counter()
+    sfm_reconstruct(scene_path, verbose=verbose)
+    t["sfm_s"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n_dm = reconstruct_views(
+        scene_path, scale=MVS_SCALE,
+        settings=Settings(num_sweep_planes=24, num_propagation_iters=6),
+        verbose=verbose)
+    t["mvs_s"] = time.perf_counter() - t0
+    t["n_depth_maps"] = n_dm
+
+    t0 = time.perf_counter()
+    pset = os.path.join(out_dir, "pset.ply")
+    scene_to_pointset(scene_path, pset, dmname=f"depth-L{MVS_SCALE}",
+                      image=f"undist-L{MVS_SCALE}", with_normals=True,
+                      with_scale=True, with_conf=True, verbose=verbose)
+    t["pset_s"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    surf = fssr_reconstruct(pset, os.path.join(out_dir, "surface.ply"),
+                            verbose=verbose)
+    t["fssr_s"] = time.perf_counter() - t0
+    t["n_faces"] = surf.num_faces()
+    t["total_s"] = t["sfm_s"] + t["mvs_s"] + t["pset_s"] + t["fssr_s"]
+    return t
+
+
+def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
+
+    base = "/tmp/mve_tpu_bench"
+    os.makedirs(base, exist_ok=True)
+    scene_warm = os.path.join(base, "scene_warm")
+    scene_meas = os.path.join(base, "scene_meas")
+
+    # Warm-up: primes jit caches on this backend (small but same shapes).
+    build_dataset(scene_warm)
+    run_pipeline(scene_warm, base)
+
+    # Measured run on a fresh scene (no prebundle cache reuse).
+    build_dataset(scene_meas)
+    stats = run_pipeline(scene_meas, base)
+
+    baseline_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "bench_baseline.json")
+    vs_baseline = None
+    if os.path.isfile(baseline_file):
+        with open(baseline_file) as f:
+            baseline = json.load(f)
+        ref_s = baseline.get("reference_pipeline_s")
+        if ref_s:
+            vs_baseline = ref_s / stats["total_s"]
+
+    result = {
+        "metric": "full_pipeline_wall_clock",
+        "value": round(stats["total_s"], 3),
+        "unit": "s",
+        "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
+        "detail": {k: (round(v, 3) if isinstance(v, float) else v)
+                   for k, v in stats.items()},
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -60,10 +60,15 @@ class Viewport:
         self.pose.K = np.zeros((3, 3))  # invalid until reconstructed
         self.width: int = 0
         self.height: int = 0
-        # FeatureSet equivalents (struct-of-arrays):
+        # FeatureSet equivalents (struct-of-arrays). Positions hold SIFT
+        # features first, then SURF features (feature_set.h layout); the
+        # descriptor arrays are per-type and matching combines results
+        # with index offsets (matching.cc combine_results).
         self.positions = np.zeros((0, 2), np.float32)  # normalized coords
         self.colors = np.zeros((0, 3), np.uint8)
-        self.descriptors = np.zeros((0, 128), np.float32)
+        self.descriptors = np.zeros((0, 128), np.float32)       # SIFT
+        self.surf_descriptors = np.zeros((0, 64), np.float32)   # SURF
+        self.num_sift = 0
         self.track_ids = np.zeros(0, np.int32)
         self.backup_tracks: Dict[int, int] = {}
 

@@ -47,14 +47,24 @@ class Features:
         viewport.width, viewport.height = w, h
         result = detect_and_describe(img, self.opts.sift_options)
 
-        xy = np.stack([result.x, result.y], axis=1)
-        viewport.positions = normalize_feature_positions(xy, w, h)
+        xs, ys = result.x, result.y
         viewport.descriptors = result.descriptors
-        viewport.track_ids = np.full(len(result.x), -1, np.int32)
+        viewport.num_sift = len(result.x)
+        if self.opts.use_surf:
+            from ..surf import detect_and_describe as surf_detect
+
+            surf_result = surf_detect(img)
+            viewport.surf_descriptors = surf_result.descriptors
+            xs = np.concatenate([xs, surf_result.x])
+            ys = np.concatenate([ys, surf_result.y])
+
+        xy = np.stack([xs, ys], axis=1)
+        viewport.positions = normalize_feature_positions(xy, w, h)
+        viewport.track_ids = np.full(len(xs), -1, np.int32)
 
         # Feature colors from the (possibly rescaled) image.
-        xi = np.clip(np.round(result.x).astype(int), 0, w - 1)
-        yi = np.clip(np.round(result.y).astype(int), 0, h - 1)
+        xi = np.clip(np.round(xs).astype(int), 0, w - 1)
+        yi = np.clip(np.round(ys).astype(int), 0, h - 1)
         if img.ndim == 3 and img.shape[2] >= 3:
             colors = img[yi, xi, :3]
         else:

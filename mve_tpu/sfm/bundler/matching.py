@@ -57,6 +57,16 @@ class Matching:
         pairs = M.match_pair(
             vp1.descriptors, vp2.descriptors,
             M.MatchingOptions(lowe_ratio_threshold=opts.lowe_ratio))
+        # SURF features matched separately, combined with index offsets
+        # past the SIFT block (matching.cc combine_results).
+        if len(vp1.surf_descriptors) and len(vp2.surf_descriptors):
+            surf_pairs = M.match_pair(
+                vp1.surf_descriptors, vp2.surf_descriptors,
+                M.MatchingOptions(lowe_ratio_threshold=0.7))
+            if len(surf_pairs):
+                surf_pairs = surf_pairs + np.array(
+                    [vp1.num_sift, vp2.num_sift], np.int32)
+                pairs = np.concatenate([pairs, surf_pairs]) if len(pairs) else surf_pairs
         if len(pairs) < opts.min_feature_matches:
             return None
         p1 = vp1.positions[pairs[:, 0]]

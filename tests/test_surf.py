@@ -1,0 +1,46 @@
+"""SURF tests (reference analog: synthetic blob checks as for SIFT)."""
+
+import numpy as np
+
+from mve_tpu.sfm.surf import detect_and_describe, SurfOptions
+from mve_tpu.sfm import matching as M
+
+from tests.test_features import _blob_image
+
+
+def _u8(img):
+    return (img / img.max() * 255).astype(np.uint8)
+
+
+def test_surf_detects_blobs():
+    img, blobs = _blob_image()
+    res = detect_and_describe(_u8(img))
+    assert len(res) >= 4
+    hits = 0
+    for by, bx, bs in blobs:
+        d = np.hypot(res.x - bx, res.y - by)
+        if d.min() < 3.0:
+            hits += 1
+    assert hits >= len(blobs) - 1
+    np.testing.assert_allclose(np.linalg.norm(res.descriptors, axis=1), 1.0, atol=1e-4)
+
+
+def test_surf_shift_equivariance():
+    img1, _ = _blob_image()
+    img2, _ = _blob_image(shift=(5, 2))
+    r1 = detect_and_describe(_u8(img1))
+    r2 = detect_and_describe(_u8(img2))
+    pairs = M.match_pair(r1.descriptors, r2.descriptors,
+                         M.MatchingOptions(lowe_ratio_threshold=0.7))
+    assert len(pairs) >= 3
+    dx = r2.x[pairs[:, 1]] - r1.x[pairs[:, 0]]
+    dy = r2.y[pairs[:, 1]] - r1.y[pairs[:, 0]]
+    assert abs(np.median(dx) - 5) < 1.5
+    assert abs(np.median(dy) - 2) < 1.5
+
+
+def test_surf_upright():
+    img, _ = _blob_image()
+    res = detect_and_describe(_u8(img), SurfOptions(use_upright_descriptor=True))
+    assert len(res) >= 4
+    np.testing.assert_allclose(res.orientation, 0.0)
