@@ -348,6 +348,106 @@ def save_npts_mesh(mesh: TriangleMesh, path: str, binary: bool = False) -> None:
 
 
 # ---------------------------------------------------------------------------
+# SMF (mesh_io_smf.cc — "v x y z" / "f a b c", 1-indexed)
+# ---------------------------------------------------------------------------
+
+def load_smf_mesh(path: str) -> TriangleMesh:
+    verts, faces = [], []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0] == "v":
+                verts.append([float(x) for x in parts[1:4]])
+            elif parts[0] == "f":
+                faces.append([int(x) - 1 for x in parts[1:4]])
+    mesh = TriangleMesh()
+    mesh.vertices = np.array(verts, np.float32).reshape(-1, 3)
+    mesh.faces = np.array(faces, np.int32).reshape(-1, 3)
+    return mesh
+
+
+def save_smf_mesh(mesh: TriangleMesh, path: str) -> None:
+    with open(path, "w") as f:
+        for v in mesh.vertices:
+            f.write(f"v {v[0]:g} {v[1]:g} {v[2]:g}\n")
+        for face in mesh.faces:
+            f.write(f"f {face[0]+1} {face[1]+1} {face[2]+1}\n")
+
+
+# ---------------------------------------------------------------------------
+# PBRT (mesh_io_pbrt.cc — trianglemesh shape, export only like the ref)
+# ---------------------------------------------------------------------------
+
+def save_pbrt_mesh(mesh: TriangleMesh, path: str) -> None:
+    with open(path, "w") as f:
+        f.write('Shape "trianglemesh"\n"point3 P" [\n')
+        for v in mesh.vertices:
+            f.write(f"  {v[0]:g} {v[1]:g} {v[2]:g}\n")
+        f.write(']\n"integer indices" [\n')
+        for face in mesh.faces:
+            f.write(f"  {face[0]} {face[1]} {face[2]}\n")
+        f.write("]\n")
+
+
+# ---------------------------------------------------------------------------
+# GLB (mesh_io_glb.cc — binary glTF 2.0 container, export only)
+# ---------------------------------------------------------------------------
+
+def save_glb_mesh(mesh: TriangleMesh, path: str) -> None:
+    import json as _json
+
+    verts = np.ascontiguousarray(mesh.vertices, "<f4")
+    faces = np.ascontiguousarray(mesh.faces, "<u4")
+    has_colors = mesh.has_vertex_colors()
+    buffers = [verts.tobytes(), faces.tobytes()]
+    accessors = [
+        {"bufferView": 0, "componentType": 5126, "count": int(len(verts)),
+         "type": "VEC3",
+         "min": [float(x) for x in verts.min(axis=0)] if len(verts) else [0, 0, 0],
+         "max": [float(x) for x in verts.max(axis=0)] if len(verts) else [0, 0, 0]},
+        {"bufferView": 1, "componentType": 5125,
+         "count": int(faces.size), "type": "SCALAR"},
+    ]
+    attributes = {"POSITION": 0}
+    if has_colors:
+        colors = np.ascontiguousarray(mesh.vertex_colors[:, :4], "<f4")
+        buffers.append(colors.tobytes())
+        accessors.append({"bufferView": 2, "componentType": 5126,
+                          "count": int(len(colors)), "type": "VEC4"})
+        attributes["COLOR_0"] = 2
+
+    views = []
+    offset = 0
+    for b in buffers:
+        pad = (-len(b)) % 4
+        views.append({"buffer": 0, "byteOffset": offset, "byteLength": len(b)})
+        offset += len(b) + pad
+    bin_blob = b"".join(b + b"\x00" * ((-len(b)) % 4) for b in buffers)
+
+    gltf = {
+        "asset": {"version": "2.0", "generator": "mve_tpu"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [{"attributes": attributes, "indices": 1}]}],
+        "accessors": accessors,
+        "bufferViews": views,
+        "buffers": [{"byteLength": len(bin_blob)}],
+    }
+    json_blob = _json.dumps(gltf).encode()
+    json_blob += b" " * ((-len(json_blob)) % 4)
+    total = 12 + 8 + len(json_blob) + 8 + len(bin_blob)
+    with open(path, "wb") as f:
+        f.write(struct.pack("<III", 0x46546C67, 2, total))
+        f.write(struct.pack("<II", len(json_blob), 0x4E4F534A))
+        f.write(json_blob)
+        f.write(struct.pack("<II", len(bin_blob), 0x004E4942))
+        f.write(bin_blob)
+
+
+# ---------------------------------------------------------------------------
 # Dispatch (mesh_io.h:25-31)
 # ---------------------------------------------------------------------------
 
@@ -363,6 +463,8 @@ def load_mesh(path: str) -> TriangleMesh:
         return load_npts_mesh(path)
     if ext == ".bnpts":
         return load_npts_mesh(path, binary=True)
+    if ext == ".smf":
+        return load_smf_mesh(path)
     raise ValueError(f"unsupported mesh format: {ext}")
 
 
@@ -378,5 +480,11 @@ def save_mesh(mesh: TriangleMesh, path: str, **kw) -> None:
         save_npts_mesh(mesh, path)
     elif ext == ".bnpts":
         save_npts_mesh(mesh, path, binary=True)
+    elif ext == ".smf":
+        save_smf_mesh(mesh, path)
+    elif ext == ".pbrt":
+        save_pbrt_mesh(mesh, path)
+    elif ext == ".glb":
+        save_glb_mesh(mesh, path)
     else:
         raise ValueError(f"unsupported mesh format: {ext}")

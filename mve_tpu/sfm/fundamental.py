@@ -44,6 +44,52 @@ def fundamental_least_squares(p1, p2):
     return fundamental_8_point(p1, p2)
 
 
+def fundamental_7_point(p1, p2):
+    """Batched 7-point algorithm (fundamental.h 7-point; homography.cc).
+
+    p1, p2: (..., 7, 2). The null space is spanned by F1, F2; roots of
+    the cubic det(a F1 + (1-a) F2) = 0 give up to three F candidates.
+    Returns (Fs (..., 3, 3, 3), valid (..., 3)) — invalid roots are
+    complex/spurious and flagged false.
+    """
+    A = _correspondence_matrix(p1, p2)
+    _, _, vt = jnp.linalg.svd(A, full_matrices=True)
+    f1 = vt[..., -1, :].reshape(vt.shape[:-2] + (3, 3))
+    f2 = vt[..., -2, :].reshape(vt.shape[:-2] + (3, 3))
+
+    # det(a f1 + (1 - a) f2) is cubic in a; sample at 4 points to get the
+    # coefficients exactly (cubic interpolation through a = 0, 1, 2, -1).
+    def det_at(a):
+        return jnp.linalg.det(a * f1 + (1.0 - a) * f2)
+
+    d0 = det_at(0.0)   # c0
+    d1 = det_at(1.0)   # c3+c2+c1+c0
+    d2 = det_at(2.0)   # 8c3+4c2+2c1+c0
+    dm = det_at(-1.0)  # -c3+c2-c1+c0
+    c0 = d0
+    c2 = (d1 + dm) / 2.0 - c0
+    c3 = (d2 - 2.0 * d1 + c0 - 2.0 * c2) / 6.0
+    c1 = d1 - c0 - c2 - c3
+    # Roots of c3 a^3 + c2 a^2 + c1 a + c0 (complex-safe cubic).
+    from .p3p import _solve_cubic_one_root
+
+    c3_safe = jnp.where(jnp.abs(c3) < 1e-20, 1e-20, c3)
+    r1 = _solve_cubic_one_root(c2 / c3_safe, c1 / c3_safe, c0 / c3_safe)
+    # Deflate: quadratic a^2 + p a + q with p = c2/c3 + r1, q = -c0/(c3 r1).
+    p = c2 / c3_safe + r1
+    r1_safe = jnp.where(jnp.abs(r1) < 1e-20, 1e-20, r1)
+    q = -c0.astype(jnp.complex64) / (c3_safe.astype(jnp.complex64) * r1_safe)
+    disc = jnp.sqrt(p * p / 4.0 - q)
+    r2 = -p / 2.0 + disc
+    r3 = -p / 2.0 - disc
+    roots = jnp.stack([r1, r2, r3], axis=-1)  # (..., 3) complex
+    valid = jnp.abs(jnp.imag(roots)) < 1e-4
+    a = jnp.real(roots)
+    Fs = (a[..., None, None] * f1[..., None, :, :]
+          + (1.0 - a)[..., None, None] * f2[..., None, :, :])
+    return Fs, valid
+
+
 def enforce_fundamental_constraints(F):
     """Zero the smallest singular value (fundamental.cc:113-126)."""
     u, s, vt = jnp.linalg.svd(F)
