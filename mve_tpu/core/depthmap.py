@@ -233,8 +233,14 @@ def depthmap_mesh_confidences(mesh: TriangleMesh, iterations: int = 3) -> None:
     if iterations == 0:
         return
     n = mesh.num_vertices()
-    confs = np.ones(n, np.float32)
     info = MeshInfo(mesh)
+    from .. import native as _native
+
+    native_confs = _native.boundary_confidences(n, mesh.faces, info.vclass, iterations)
+    if native_confs is not None:
+        mesh.vertex_confidences = native_confs
+        return
+    confs = np.ones(n, np.float32)
     ring = [i for i in range(n) if info.vclass[i] == MeshInfo.BORDER]
 
     # Vertex adjacency from faces.

@@ -140,7 +140,12 @@ class MeshInfo:
         corner_f = np.repeat(np.arange(len(faces), dtype=np.int64), 3)
         order = np.argsort(corner_v, kind="stable")
         self.vf = corner_f[order]
-        self.vclass = self._classify()
+        # Native classification when the C++ kernels are built
+        # (mve_tpu/native); Python fallback otherwise.
+        from .. import native as _native
+
+        vclass = _native.classify_vertices(nv, faces)
+        self.vclass = vclass if vclass is not None else self._classify()
 
     def faces_of_vertex(self, v: int) -> np.ndarray:
         return self.vf[self.vf_off[v] : self.vf_off[v + 1]]

@@ -18,20 +18,37 @@ def _collapse_edges(mesh: TriangleMesh, edges: np.ndarray) -> int:
     if len(edges) == 0:
         return 0
     n = mesh.num_vertices()
-    target = np.arange(n)
-    touched = np.zeros(n, bool)
-    count = 0
-    for a, b in edges:
-        ra, rb = int(target[a]), int(target[b])
-        if ra == rb or touched[ra] or touched[rb]:
-            continue
-        target[target == rb] = ra
-        # midpoint collapse
-        mesh.vertices[ra] = 0.5 * (mesh.vertices[ra] + mesh.vertices[rb])
-        touched[ra] = True
-        count += 1
-    if count == 0:
-        return 0
+    from .. import native as _native
+
+    native_out = _native.collapse_edges(mesh.vertices, edges)
+    if native_out is not None:
+        count, target, new_verts = native_out
+        if count == 0:
+            return 0
+        mesh.vertices = new_verts
+    else:
+        # Union-find fallback.
+        target = np.arange(n)
+
+        def find(x):
+            while target[x] != x:
+                target[x] = target[target[x]]
+                x = target[x]
+            return x
+
+        touched = np.zeros(n, bool)
+        count = 0
+        for a, b in edges:
+            ra, rb = find(int(a)), find(int(b))
+            if ra == rb or touched[ra] or touched[rb]:
+                continue
+            target[rb] = ra
+            mesh.vertices[ra] = 0.5 * (mesh.vertices[ra] + mesh.vertices[rb])
+            touched[ra] = True
+            count += 1
+        if count == 0:
+            return 0
+        target = np.array([find(i) for i in range(n)])
     mesh.faces = target[mesh.faces].astype(np.int32)
     ok = ((mesh.faces[:, 0] != mesh.faces[:, 1])
           & (mesh.faces[:, 1] != mesh.faces[:, 2])
