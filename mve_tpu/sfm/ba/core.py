@@ -309,6 +309,93 @@ def solve_points_only(Cb, w, trr):
 # parameter update (bundle_adjustment.cc:640-697)
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# fully on-device LM loop
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=(
+    "mode", "fixed_intrinsics", "max_iters", "cg_max_iter"))
+def lm_optimize_device(intr, trans, rot, points, obs, cam_idx, pt_idx,
+                       obs_valid, num_valid,
+                       mode: int = 3, fixed_intrinsics: bool = False,
+                       max_iters: int = 50, cg_max_iter: int = 1000,
+                       lm_delta_threshold: float = 1e-4,
+                       lm_mse_threshold: float = 1e-8):
+    """The entire LM trust-region loop as ONE device program
+    (lax.while_loop), replicating bundle_adjustment.cc:73-201: trust
+    region init 1000, halving on failure, gain-ratio growth on success,
+    delta-MSE-ratio and MSE termination. One dispatch per BA instead of
+    one per LM step — the difference between host-driven and TPU-resident
+    optimization (dominant when dispatch latency is nontrivial).
+
+    Returns (intr, trans, rot, points, status_vec) with status_vec =
+    [initial_mse, final_mse, lm_iters, lm_success, lm_fail, cg_iters].
+    """
+    dtype = intr.dtype
+    f0 = compute_residuals(intr, trans, rot, points, obs, cam_idx, pt_idx, obs_valid)
+    mse0 = compute_mse(f0, num_valid)
+
+    def solve(sys, trr):
+        if mode == 3:
+            dc, dp, pred, n_cg = solve_schur(
+                sys["Jc"], sys["Jp"], cam_idx, pt_idx, sys["B"], sys["Cb"],
+                sys["v"], sys["w"], trr, cg_max_iter=cg_max_iter)
+        elif mode == 1:
+            dc, pred, n_cg = solve_cameras_only(
+                sys["Jc"], cam_idx, sys["B"], sys["v"], trr,
+                cg_max_iter=cg_max_iter)
+            dp = jnp.zeros_like(points)
+        else:
+            dp, pred = solve_points_only(sys["Cb"], sys["w"], trr)
+            dc = jnp.zeros((intr.shape[0], 9), dtype)
+            n_cg = jnp.zeros((), jnp.int32)
+        return dc, dp, pred, n_cg
+
+    def cond(state):
+        (ii, tt, rr, pp, trr, mse, it, done, ns, nf, cg) = state
+        return (~done) & (it < max_iters)
+
+    def body(state):
+        (ii, tt, rr, pp, trr, mse, it, done, ns, nf, cg) = state
+        sys = build_system(ii, tt, rr, pp, obs, cam_idx, pt_idx, obs_valid,
+                           mode=mode, fixed_intrinsics=fixed_intrinsics)
+        dc, dp, pred, n_cg = solve(sys, trr)
+        ni, nt, nr, npts = apply_update(ii, tt, rr, pp, dc, dp,
+                                        fixed_intrinsics=fixed_intrinsics)
+        f_new = compute_residuals(ni, nt, nr, npts, obs, cam_idx, pt_idx, obs_valid)
+        new_mse = compute_mse(f_new, num_valid)
+        delta_mse = mse - new_mse
+        success = delta_mse > 0.0
+
+        gain = delta_mse * num_valid / jnp.where(pred == 0.0, 1.0, pred)
+        tr_up = 1.0 / jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * gain - 1.0) ** 3)
+        new_trr = jnp.where(success, trr * tr_up, trr * 0.5)
+
+        ii = jnp.where(success, ni, ii)
+        tt = jnp.where(success, nt, tt)
+        rr = jnp.where(success, nr, rr)
+        pp = jnp.where(success, npts, pp)
+        mse_next = jnp.where(success, new_mse, mse)
+
+        delta_ratio = 1.0 - new_mse / jnp.maximum(mse, 1e-300)
+        new_done = (success & (delta_ratio < lm_delta_threshold)) | (
+            mse_next < lm_mse_threshold)
+        return (ii, tt, rr, pp, new_trr, mse_next, it + 1, new_done,
+                ns + success.astype(jnp.int32),
+                nf + (~success).astype(jnp.int32), cg + n_cg)
+
+    init = (intr, trans, rot, points,
+            jnp.asarray(1000.0, dtype), mse0,
+            jnp.zeros((), jnp.int32), mse0 < lm_mse_threshold,
+            jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+            jnp.zeros((), jnp.int32))
+    (ii, tt, rr, pp, trr, mse, it, done, ns, nf, cg) = jax.lax.while_loop(
+        cond, body, init)
+    status = jnp.stack([mse0, mse, it.astype(dtype), ns.astype(dtype),
+                        nf.astype(dtype), cg.astype(dtype)])
+    return ii, tt, rr, pp, status
+
+
 @functools.partial(jax.jit, static_argnames=("fixed_intrinsics",))
 def apply_update(intr, trans, rot, points, delta_cam, delta_pt,
                  fixed_intrinsics: bool = False):

@@ -106,6 +106,33 @@ class BundleAdjustment:
         pt_idx = jnp.asarray(np.pad(pt_idx_np, (0, Op - O)))
         obs_valid = jnp.asarray(np.arange(Op) < O)
 
+        if not opts.verbose_output:
+            # Fast path: the whole LM loop as one device program
+            # (core.lm_optimize_device). The verbose path below drives the
+            # loop from the host so per-iteration status can print.
+            ii, tt, rr, pp, status = core.lm_optimize_device(
+                intr, trans, rot, points, obs, cam_idx, pt_idx, obs_valid,
+                jnp.asarray(O, dtype),
+                mode=mode, fixed_intrinsics=opts.fixed_intrinsics,
+                max_iters=opts.lm_max_iterations,
+                cg_max_iter=opts.cg_max_iterations,
+                lm_delta_threshold=opts.lm_delta_threshold,
+                lm_mse_threshold=opts.lm_mse_threshold)
+            status = np.asarray(status, np.float64)
+            self.status.initial_mse = float(status[0])
+            self.status.final_mse = float(status[1])
+            self.status.num_lm_iterations = int(status[2])
+            self.status.num_lm_successful_iterations = int(status[3])
+            self.status.num_lm_unsuccessful_iterations = int(status[4])
+            self.status.num_cg_iterations = int(status[5])
+            problem.update_from_arrays(
+                np.asarray(ii)[:C].astype(np.float64),
+                np.asarray(tt)[:C].astype(np.float64),
+                np.asarray(rr)[:C].astype(np.float64),
+                np.asarray(pp)[:P].astype(np.float64),
+            )
+            return
+
         trr = TRUST_REGION_RADIUS_INIT
 
         f = core.compute_residuals(intr, trans, rot, points, obs, cam_idx, pt_idx, obs_valid)

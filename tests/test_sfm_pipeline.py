@@ -82,7 +82,7 @@ def test_incremental_sfm_normalize():
     centers = np.array([vp.pose.fill_camera_pos() for vp in viewports if vp.pose.is_valid()])
     extent = (centers.max(0) - centers.min(0)).max()
     np.testing.assert_allclose(extent, 10.0, rtol=1e-3)
-    np.testing.assert_allclose(centers.mean(axis=0), np.zeros(3), atol=1e-6)
+    np.testing.assert_allclose(centers.mean(axis=0), np.zeros(3), atol=1e-5)
 
 
 def test_prebundle_roundtrip(tmp_path):
