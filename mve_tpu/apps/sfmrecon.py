@@ -75,7 +75,9 @@ def sfm_reconstruct(scene_path: str, *, max_pixels: int = 6_000_000,
         timer.reset()
         if verbose:
             print("Performing feature matching...")
-        matcher = Matching(BundlerMatchingOptions(
+        from ..sfm.bundler.matching_batched import BatchedMatching
+
+        matcher = BatchedMatching(BundlerMatchingOptions(
             use_lowres_matching=use_lowres_matching,
             max_num_pairs_per_view=video_matching,
             verbose=verbose))
