@@ -42,9 +42,27 @@ def _pad_rows(arr: np.ndarray, multiple: int = 256) -> np.ndarray:
 
 def oneway_match(opts: MatchingOptions, set1: np.ndarray, set2: np.ndarray) -> np.ndarray:
     """Match each descriptor of set1 into set2 (matching.h:115-146)."""
+    import jax
+
     n1, n2 = len(set1), len(set2)
     if n1 == 0 or n2 == 0:
         return np.full(n1, -1, np.int32)
+    if (jax.default_backend() == "tpu" and set1.shape[1] % 128 == 0):
+        # Fused Pallas kernel: no (N1, N2) score matrix in HBM. Padded
+        # reference rows are zero vectors (dot 0 -> dist 2), which can
+        # only displace the 2nd best when fewer than 2 real refs exist.
+        from ..ops.pallas_matching import descriptor_top2_pallas, TM, TN
+
+        q = _pad_rows(np.asarray(set1, np.float32), TM)
+        r = _pad_rows(np.asarray(set2, np.float32), TN)
+        idx, d1, d2 = descriptor_top2_pallas(jnp.asarray(q), jnp.asarray(r))
+        idx = np.where(np.asarray(idx)[:n1] < n2, np.asarray(idx)[:n1], -1)
+        d1 = np.asarray(d1)[:n1]
+        d2 = np.asarray(d2)[:n1]
+        sq_lowe = opts.lowe_ratio_threshold**2
+        sq_dist = opts.distance_threshold**2 if np.isfinite(opts.distance_threshold) else np.inf
+        ok = (idx >= 0) & (d1 <= sq_dist) & (d1 / np.maximum(d2, 1e-30) <= sq_lowe)
+        return np.where(ok, idx, -1).astype(np.int32)
     q = _pad_rows(np.asarray(set1, np.float32))
     r = _pad_rows(np.asarray(set2, np.float32))
     idx, d1, d2 = descriptor_top2(jnp.asarray(q), jnp.asarray(r), n_refs=n2)
