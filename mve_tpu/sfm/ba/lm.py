@@ -59,8 +59,14 @@ def _pad(arr, n, axis=0):
     return np.pad(arr, widths)
 
 
-def _bucket(n, quantum=64):
-    return max(quantum, (n + quantum - 1) // quantum * quantum)
+def _bucket(n, minimum=64):
+    """Next power of two: bounds the number of distinct compiled shapes
+    across an incremental SfM run to O(log problem size) per dimension
+    (each unique shape costs a full XLA compile of the LM program)."""
+    size = minimum
+    while size < n:
+        size *= 2
+    return size
 
 
 class BundleAdjustment:

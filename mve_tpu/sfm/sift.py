@@ -457,10 +457,12 @@ def _compute_descriptors(grad, ori, x, y, samp, orientation, valid,
 # ---------------------------------------------------------------------------
 
 def _pad_to_bucket(n: int, cap: int, chunk: int = 256) -> int:
-    """Pad count to a multiple of `chunk` (bounds jit recompiles)."""
-    if n == 0:
-        return chunk
-    return min(cap, (n + chunk - 1) // chunk * chunk)
+    """Pad count to the next power of two >= chunk (each distinct shape
+    is a separate XLA compile; log buckets bound that count)."""
+    size = chunk
+    while size < n and size < cap:
+        size *= 2
+    return min(size, cap) if cap >= chunk else size
 
 
 def detect_and_describe(image, options: SiftOptions = SiftOptions()) -> SiftResult:

@@ -382,7 +382,9 @@ def detect_and_describe(image, options: SurfOptions = SurfOptions()) -> SurfResu
             top = np.argpartition(-vals, options.max_keypoints_per_octave)[: options.max_keypoints_per_octave]
             si, yy, xx = si[top], yy[top], xx[top]
             n = len(xx)
-        npad = max(256, (n + 255) // 256 * 256)
+        npad = 256
+        while npad < n:
+            npad *= 2
         pad = npad - n
         ix = jnp.asarray(np.pad(xx.astype(np.int32), (0, pad), constant_values=2))
         iy = jnp.asarray(np.pad(yy.astype(np.int32), (0, pad), constant_values=2))
@@ -407,7 +409,9 @@ def detect_and_describe(image, options: SurfOptions = SurfOptions()) -> SurfResu
         ksizes = np.array(KERNEL_SIZES[octave])[samp_round]
         scales = 3.0 * ksizes * 1.2 / 9.0
 
-        npad2 = max(256, (n2 + 255) // 256 * 256)
+        npad2 = 256
+        while npad2 < n2:
+            npad2 *= 2
         pad2 = npad2 - n2
         kx = jnp.asarray(np.pad(x_img.astype(np.float32), (0, pad2), constant_values=W / 2))
         ky = jnp.asarray(np.pad(y_img.astype(np.float32), (0, pad2), constant_values=H / 2))
