@@ -206,52 +206,49 @@ class DMRecon:
 
     # ------------------------------------------------------------------
     def _optimize(self, ref, neigh, T, tvec, ray_z, init_depth, dmin, dmax):
-        """Plane sweep + propagation + parabolic refinement, all jitted."""
+        """Plane sweep + propagation + parabolic refinement.
+
+        Each round evaluates its whole candidate stack in ONE device
+        dispatch (ncc_score_multi) — candidate counts are static so the
+        number of compiled programs stays small.
+        """
+        from .patch import ncc_score_multi
+
         s = self.settings
         fw = s.filter_width
         k = s.nr_recon_neighbors
 
-        def score_of(d):
-            return ncc_score(ref, neigh, T, tvec, ray_z, d, filter_width=fw, top_k=k)
+        def best_of(best_d, best_s, cands):
+            cs = ncc_score_multi(ref, neigh, T, tvec, ray_z,
+                                 jnp.stack(cands), filter_width=fw, top_k=k)
+            all_s = jnp.concatenate([best_s[None], cs])
+            all_d = jnp.concatenate([best_d[None], jnp.stack(cands)])
+            pick = jnp.argmax(all_s, axis=0)
+            d = jnp.take_along_axis(all_d, pick[None], axis=0)[0]
+            sc = jnp.take_along_axis(all_s, pick[None], axis=0)[0]
+            return d, sc
 
         best_d = init_depth
-        best_s = score_of(best_d)
+        best_s = ncc_score_multi(ref, neigh, T, tvec, ray_z, best_d[None],
+                                 filter_width=fw, top_k=k)[0]
 
-        # Global sweep around the initialization: geometric fan of scales
-        # plus absolute planes across [dmin, dmax].
+        # Global sweep: geometric fan around the initialization plus
+        # absolute planes across [dmin, dmax] — one dispatch.
         n_planes = s.num_sweep_planes
         rel = np.geomspace(0.75, 1.3333, max(n_planes // 2, 2))
         absd = np.geomspace(max(dmin, 1e-4), dmax, max(n_planes - len(rel), 2))
-        for f in rel:
-            cand = best_d * f
-            cs = score_of(cand)
-            better = cs > best_s
-            best_d = jnp.where(better, cand, best_d)
-            best_s = jnp.where(better, cs, best_s)
-        for dv in absd:
-            cand = jnp.full_like(best_d, dv)
-            cs = score_of(cand)
-            better = cs > best_s
-            best_d = jnp.where(better, cand, best_d)
-            best_s = jnp.where(better, cs, best_s)
+        cands = [best_d * float(f) for f in rel]
+        cands += [jnp.full_like(best_d, float(dv)) for dv in absd]
+        best_d, best_s = best_of(best_d, best_s, cands)
 
-        # PatchMatch-style propagation: shifted-neighbor candidates.
+        # PatchMatch-style propagation: all shifts + perturbations of a
+        # round in one dispatch.
         shifts = ((0, 1), (0, -1), (1, 0), (-1, 0), (0, 3), (3, 0), (0, -3), (-3, 0))
         for it in range(s.num_propagation_iters):
-            for (dy, dx) in shifts:
-                cand = jnp.roll(best_d, (dy, dx), axis=(0, 1))
-                cs = score_of(cand)
-                better = cs > best_s
-                best_d = jnp.where(better, cand, best_d)
-                best_s = jnp.where(better, cs, best_s)
-            # Random-scale perturbation, shrinking with iteration.
             eps = 0.05 * (0.5 ** it)
-            for f in (1.0 - eps, 1.0 + eps):
-                cand = best_d * f
-                cs = score_of(cand)
-                better = cs > best_s
-                best_d = jnp.where(better, cand, best_d)
-                best_s = jnp.where(better, cs, best_s)
+            cands = [jnp.roll(best_d, (dy, dx), axis=(0, 1)) for dy, dx in shifts]
+            cands += [best_d * (1.0 - eps), best_d * (1.0 + eps)]
+            best_d, best_s = best_of(best_d, best_s, cands)
 
         # Parabolic sub-candidate refinement (replaces the reference's
         # Gauss-Newton depth steps, patch_optimization.cc
@@ -260,25 +257,17 @@ class DMRecon:
             eps = 0.02 * (0.5 ** step)
             d_lo = best_d * (1.0 - eps)
             d_hi = best_d * (1.0 + eps)
-            s_lo = score_of(d_lo)
-            s_hi = score_of(d_hi)
+            both = ncc_score_multi(ref, neigh, T, tvec, ray_z,
+                                   jnp.stack([d_lo, d_hi]),
+                                   filter_width=fw, top_k=k)
+            s_lo, s_hi = both[0], both[1]
             denom = s_lo - 2.0 * best_s + s_hi
             offset = jnp.where(
                 jnp.abs(denom) > 1e-12,
                 jnp.clip(0.5 * (s_lo - s_hi) / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom), -1.0, 1.0),
                 0.0)
             cand = best_d * (1.0 + offset * eps)
-            cs = score_of(cand)
-            better = cs > best_s
-            best_d = jnp.where(better, cand, best_d)
-            best_s = jnp.where(better, cs, best_s)
-            # Also keep the better of the bracket ends.
-            better_lo = s_lo > best_s
-            best_d = jnp.where(better_lo, d_lo, best_d)
-            best_s = jnp.where(better_lo, s_lo, best_s)
-            better_hi = s_hi > best_s
-            best_d = jnp.where(better_hi, d_hi, best_d)
-            best_s = jnp.where(better_hi, s_hi, best_s)
+            best_d, best_s = best_of(best_d, best_s, [cand, d_lo, d_hi])
 
         best_d = jnp.clip(best_d, dmin * 0.5, dmax * 2.0)
         return best_d, best_s

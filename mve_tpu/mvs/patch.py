@@ -31,6 +31,20 @@ def make_patch_offsets(filter_width: int):
 
 
 @functools.partial(jax.jit, static_argnames=("filter_width", "top_k"))
+def ncc_score_multi(ref_img, neigh_imgs, T, tvec, ray_z, depths,
+                    filter_width: int = 5, top_k: int = 4):
+    """Score a stack of candidate depth maps in one dispatch.
+
+    depths: (K, H, W) -> scores (K, H, W). One device call per
+    propagation round instead of one per candidate.
+    """
+    return jax.vmap(
+        lambda d: ncc_score(ref_img, neigh_imgs, T, tvec, ray_z, d,
+                            filter_width=filter_width, top_k=top_k)
+    )(depths)
+
+
+@functools.partial(jax.jit, static_argnames=("filter_width", "top_k"))
 def ncc_score(ref_img, neigh_imgs, T, tvec, ray_z, depth,
               filter_width: int = 5, top_k: int = 4):
     """Combined NCC score for a candidate ray-length depth map.
