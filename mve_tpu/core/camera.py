@@ -69,8 +69,19 @@ class CameraInfo:
 
     # -- intrinsics (camera.cc fill_calibration) --------------------------
     def calibration(self, width: float, height: float) -> np.ndarray:
-        """3x3 K matrix for the given image dimensions."""
-        return np.asarray(calibration_matrix(self.flen, self.ppoint, self.paspect, width, height))
+        """3x3 K matrix for the given image dimensions (pure numpy —
+        host camera bookkeeping must not touch the device)."""
+        image_aspect = width / height * self.paspect
+        if image_aspect < 1.0:  # portrait
+            ax = self.flen * height / self.paspect
+            ay = self.flen * height
+        else:
+            ax = self.flen * width
+            ay = self.flen * width * self.paspect
+        return np.array(
+            [[ax, 0.0, width * self.ppoint[0]],
+             [0.0, ay, height * self.ppoint[1]],
+             [0.0, 0.0, 1.0]], np.float64)
 
     def inverse_calibration(self, width: float, height: float) -> np.ndarray:
         return np.linalg.inv(self.calibration(width, height)).astype(np.float32)
