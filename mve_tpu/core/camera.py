@@ -84,7 +84,7 @@ class CameraInfo:
              [0.0, 0.0, 1.0]], np.float64)
 
     def inverse_calibration(self, width: float, height: float) -> np.ndarray:
-        return np.linalg.inv(self.calibration(width, height)).astype(np.float32)
+        return np.linalg.inv(self.calibration(width, height))
 
     def reprojection(self, dst: "CameraInfo", src_wh, dst_wh):
         """Pixel reprojection operator (T, t): xd = T xs d + t.
