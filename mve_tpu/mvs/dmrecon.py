@@ -118,10 +118,13 @@ class DMRecon:
             raise RuntimeError(
                 f"view {s.ref_view_nr}: only {len(selected)} neighbors selected")
 
-        # --- load images at working level
+        # --- load images at working level (pyramid cache shares level
+        # images across reference views, image_pyramid.cc cache).
+        from .pyramid import ImagePyramidCache
+
         ref_img_full = ref_view.get_image(s.image_embedding)
-        ref_gray = _to_gray(ref_img_full)
-        ref_level = _image_at_level(ref_gray, s.scale)
+        ref_level = ImagePyramidCache.get_level(
+            scene, s.ref_view_nr, s.image_embedding, s.scale, _to_gray)
         H, W = ref_level.shape
         ref_cam = ref_view.camera
         ref_wh = (W, H)
@@ -129,7 +132,7 @@ class DMRecon:
         neigh_imgs = []
         Ts, ts = [], []
         for v in selected:
-            g = _image_at_level(_to_gray(views[v].get_image(s.image_embedding)), s.scale)
+            g = ImagePyramidCache.get_level(scene, v, s.image_embedding, s.scale, _to_gray)
             neigh_imgs.append(g)
             w2, h2 = _level_dims(*full_sizes[v], s.scale)
             T, tv = ref_cam.reprojection(views[v].camera, ref_wh, (w2, h2))
