@@ -465,6 +465,48 @@ def _pad_to_bucket(n: int, cap: int, chunk: int = 256) -> int:
     return min(size, cap) if cap >= chunk else size
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "num_samples", "base_sigma", "has_sigma", "cap", "contrast_thr", "edge_thr"))
+def _octave_detect(oct_img, num_samples: int, base_sigma: float,
+                   has_sigma: float, cap: int, contrast_thr: float,
+                   edge_thr: float):
+    """Fused per-octave stage 1: scale space + DoGs + extrema + top-`cap`
+    candidate selection + batched localization — one dispatch.
+
+    Returns (gauss, x, y, s, keep): gauss stays on device for stage 2.
+    """
+    gauss, dogs = _build_octave(oct_img, num_samples, base_sigma, has_sigma)
+    mask = _extrema_mask(dogs)  # (S, H, W)
+    S, H, W = mask.shape
+    # Candidate strength = |DoG| at the center sample; masked to extrema.
+    strength = jnp.where(mask, jnp.abs(dogs[1 : 1 + S]), -1.0)
+    flat = strength.reshape(-1)
+    k = min(cap, flat.shape[0])
+    vals, idx = jax.lax.top_k(flat, k)
+    valid = vals > 0.0
+    isamp = (idx // (H * W)).astype(jnp.int32)
+    rem = idx % (H * W)
+    iy = (rem // W).astype(jnp.int32)
+    ix = (rem % W).astype(jnp.int32)
+    # Clamp invalid slots to interior pixels so gathers stay in range.
+    ix = jnp.where(valid, ix, 2)
+    iy = jnp.where(valid, iy, 2)
+    isamp = jnp.where(valid, isamp, 0)
+    x, y, s, keep = _localize_keypoints(
+        dogs, ix, iy, isamp, valid, contrast_thr, edge_thr, num_samples)
+    return gauss, x, y, s, keep
+
+
+@functools.partial(jax.jit, static_argnames=("num_samples", "base_sigma", "max_ori"))
+def _octave_orientations(gauss, x, y, samp, valid, num_samples: int,
+                         base_sigma: float, max_ori: int):
+    """Fused stage 2: gradient images + orientation histograms."""
+    grad, orient = _grad_ori(gauss)
+    oris, ori_valid = _assign_orientations(
+        grad, orient, x, y, samp, valid, num_samples, base_sigma, max_ori)
+    return grad, orient, oris, ori_valid
+
+
 def detect_and_describe(image, options: SiftOptions = SiftOptions()) -> SiftResult:
     """Run SIFT on one grayscale image; returns descriptors in input-pixel
     coordinates (equivalent of Sift::process + get_descriptors,
@@ -501,29 +543,13 @@ def detect_and_describe(image, options: SiftOptions = SiftOptions()) -> SiftResu
         img_sigma = opts.base_blur_sigma
 
     for oct_idx, oct_img, has_sigma in octave_inputs:
-        gauss, dogs = _build_octave(jnp.asarray(oct_img), S, opts.base_blur_sigma, float(has_sigma))
-        mask = np.asarray(_extrema_mask(dogs))
-        samp_idx, yy, xx = np.nonzero(mask)
-        n = len(xx)
-        if n == 0:
-            continue
-        if n > opts.max_keypoints_per_octave:
-            # Keep the strongest candidates by |DoG| response.
-            dogs_np = np.asarray(dogs)
-            resp = np.abs(dogs_np[samp_idx + 1, yy, xx])
-            top = np.argpartition(-resp, opts.max_keypoints_per_octave)[: opts.max_keypoints_per_octave]
-            samp_idx, yy, xx = samp_idx[top], yy[top], xx[top]
-            n = len(xx)
-        npad = _pad_to_bucket(n, opts.max_keypoints_per_octave)
-        pad = npad - n
-        ix = jnp.asarray(np.pad(xx.astype(np.int32), (0, pad), constant_values=2))
-        iy = jnp.asarray(np.pad(yy.astype(np.int32), (0, pad), constant_values=2))
-        isamp = jnp.asarray(np.pad(samp_idx.astype(np.int32), (0, pad)))
-        valid = jnp.asarray(np.arange(npad) < n)
-
-        x, y, s, keep = _localize_keypoints(
-            dogs, ix, iy, isamp, valid, opts.eff_contrast_threshold,
-            opts.edge_ratio_threshold, S)
+        # Stage 1 (one dispatch): scale space -> extrema -> localization.
+        cap = min(opts.max_keypoints_per_octave,
+                  max(256, S * oct_img.shape[0] * oct_img.shape[1] // 64))
+        cap = _pad_to_bucket(cap, opts.max_keypoints_per_octave)
+        gauss, x, y, s, keep = _octave_detect(
+            jnp.asarray(oct_img), S, opts.base_blur_sigma, float(has_sigma),
+            cap, opts.eff_contrast_threshold, opts.edge_ratio_threshold)
         keep_np = np.asarray(keep)
         if not keep_np.any():
             continue
@@ -536,11 +562,11 @@ def detect_and_describe(image, options: SiftOptions = SiftOptions()) -> SiftResu
         def p(a, fill=0.0):
             return jnp.asarray(np.pad(a.astype(np.float32), (0, pad2), constant_values=fill))
 
-        grad, orient = _grad_ori(gauss)
         kx, ky, ks = p(x_np, 64.0), p(y_np, 64.0), p(s_np)
         kvalid = jnp.asarray(np.arange(npad2) < n2)
-        oris, ori_valid = _assign_orientations(
-            grad, orient, kx, ky, ks, kvalid, S, opts.base_blur_sigma,
+        # Stage 2 (one dispatch): gradients + orientations.
+        grad, orient, oris, ori_valid = _octave_orientations(
+            gauss, kx, ky, ks, kvalid, S, opts.base_blur_sigma,
             opts.max_orientations_per_keypoint)
 
         ov_np = np.asarray(ori_valid)
