@@ -70,21 +70,11 @@ def fundamental_7_point(p1, p2):
     c2 = (d1 + dm) / 2.0 - c0
     c3 = (d2 - 2.0 * d1 + c0 - 2.0 * c2) / 6.0
     c1 = d1 - c0 - c2 - c3
-    # Roots of c3 a^3 + c2 a^2 + c1 a + c0 (complex-safe cubic).
-    from .p3p import _solve_cubic_one_root
+    # Real roots of c3 a^3 + c2 a^2 + c1 a + c0 (pure real arithmetic).
+    from .p3p import cubic_roots_real
 
     c3_safe = jnp.where(jnp.abs(c3) < 1e-20, 1e-20, c3)
-    r1 = _solve_cubic_one_root(c2 / c3_safe, c1 / c3_safe, c0 / c3_safe)
-    # Deflate: quadratic a^2 + p a + q with p = c2/c3 + r1, q = -c0/(c3 r1).
-    p = c2 / c3_safe + r1
-    r1_safe = jnp.where(jnp.abs(r1) < 1e-20, 1e-20, r1)
-    q = -c0.astype(jnp.complex64) / (c3_safe.astype(jnp.complex64) * r1_safe)
-    disc = jnp.sqrt(p * p / 4.0 - q)
-    r2 = -p / 2.0 + disc
-    r3 = -p / 2.0 - disc
-    roots = jnp.stack([r1, r2, r3], axis=-1)  # (..., 3) complex
-    valid = jnp.abs(jnp.imag(roots)) < 1e-4
-    a = jnp.real(roots)
+    a, valid = cubic_roots_real(c2 / c3_safe, c1 / c3_safe, c0 / c3_safe)
     Fs = (a[..., None, None] * f1[..., None, :, :]
           + (1.0 - a)[..., None, None] * f2[..., None, :, :])
     return Fs, valid

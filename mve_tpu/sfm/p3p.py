@@ -18,51 +18,88 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def _solve_cubic_one_root(B, C, D):
-    """One (complex) root of m^3 + B m^2 + C m + D = 0, batched."""
-    B = B.astype(jnp.complex64)
-    C = C.astype(jnp.complex64)
-    D = D.astype(jnp.complex64)
+def cubic_roots_real(B, C, D):
+    """All real roots of m^3 + B m^2 + C m + D = 0, batched, pure real
+    arithmetic (no complex64 — unsupported on some TPU runtimes).
+
+    Returns (roots (..., 3), valid (..., 3)); slot 0 is always a real
+    root and, in the three-real-root branch, the LARGEST one.
+    """
+    B = jnp.asarray(B, jnp.float32)
     p = C - B * B / 3.0
     q = 2.0 * B**3 / 27.0 - B * C / 3.0 + D
-    disc = jnp.sqrt(q * q / 4.0 + p**3 / 27.0)
-    u3 = -q / 2.0 + disc
-    u3_alt = -q / 2.0 - disc
-    u3 = jnp.where(jnp.abs(u3) > jnp.abs(u3_alt), u3, u3_alt)
-    u = u3 ** (1.0 / 3.0)
-    u = jnp.where(jnp.abs(u) < 1e-20, 1e-20 + 0j, u)
-    t = u - p / (3.0 * u)
-    return t - B / 3.0
+    disc = q * q / 4.0 + p**3 / 27.0
+
+    # disc >= 0: one real root via Cardano (sign-preserving cbrt).
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    u = jnp.cbrt(-q / 2.0 + sq)
+    v = jnp.cbrt(-q / 2.0 - sq)
+    root_single = u + v
+
+    # disc < 0: three real roots via the trigonometric form (p < 0 here).
+    pm = jnp.minimum(p, -1e-30)
+    rr = jnp.sqrt(-pm / 3.0)
+    arg = jnp.clip(3.0 * q / (2.0 * pm) * jnp.sqrt(-3.0 / pm), -1.0, 1.0)
+    phi = jnp.arccos(arg)
+    t0 = 2.0 * rr * jnp.cos(phi / 3.0)                       # largest
+    t1 = 2.0 * rr * jnp.cos((phi - 2.0 * jnp.pi) / 3.0)
+    t2 = 2.0 * rr * jnp.cos((phi - 4.0 * jnp.pi) / 3.0)
+
+    three = disc < 0.0
+    r0 = jnp.where(three, t0, root_single)
+    r1 = jnp.where(three, t1, root_single)
+    r2 = jnp.where(three, t2, root_single)
+    shift = B / 3.0
+    roots = jnp.stack([r0 - shift, r1 - shift, r2 - shift], axis=-1)
+    valid = jnp.stack([jnp.ones_like(three), three, three], axis=-1)
+    return roots, valid
 
 
 def solve_quartic(b, c, d, e):
-    """All four (complex) roots of x^4 + b x^3 + c x^2 + d x + e = 0.
+    """REAL roots of x^4 + b x^3 + c x^2 + d x + e = 0 (Ferrari), batched.
 
-    Batched over leading dims; returns (..., 4) complex64 (Ferrari).
+    Returns (roots (..., 4), real_mask (..., 4)) in pure real arithmetic.
     """
     b = jnp.asarray(b, jnp.float32)
     p = c - 3.0 * b * b / 8.0
     q = d - b * c / 2.0 + b**3 / 8.0
     r = e - b * d / 4.0 + b * b * c / 16.0 - 3.0 * b**4 / 256.0
-    # Resolvent cubic m^3 + p m^2 + (p^2/4 - r) m - q^2/8 = 0.
-    m = _solve_cubic_one_root(
+    # Resolvent cubic m^3 + p m^2 + (p^2/4 - r) m - q^2/8 = 0 always has a
+    # root m >= 0 (value at 0 is -q^2/8 <= 0); slot 0 is the largest.
+    mroots, _ = cubic_roots_real(
         jnp.asarray(p, jnp.float32),
         jnp.asarray(p * p / 4.0 - r, jnp.float32),
-        jnp.asarray(-q * q / 8.0, jnp.float32),
-    )
+        jnp.asarray(-q * q / 8.0, jnp.float32))
+    m = jnp.maximum(mroots[..., 0], 0.0)
     alpha = jnp.sqrt(2.0 * m)
-    alpha = jnp.where(jnp.abs(alpha) < 1e-12, 1e-12 + 0j, alpha)
-    pc = p.astype(jnp.complex64)
-    qc = q.astype(jnp.complex64)
-    gamma1 = (pc + alpha * alpha - qc / alpha) / 2.0
-    gamma2 = (pc + alpha * alpha + qc / alpha) / 2.0
-    s1 = jnp.sqrt(alpha * alpha - 4.0 * gamma1)
-    s2 = jnp.sqrt(alpha * alpha - 4.0 * gamma2)
-    y = jnp.stack(
-        [(-alpha + s1) / 2.0, (-alpha - s1) / 2.0, (alpha + s2) / 2.0, (alpha - s2) / 2.0],
-        axis=-1,
-    )
-    return y - (b / 4.0).astype(jnp.complex64)[..., None]
+    biquad = alpha < 1e-10  # q ~ 0: biquadratic fallback
+
+    alpha_safe = jnp.maximum(alpha, 1e-10)
+    gamma1 = (p + alpha * alpha - q / alpha_safe) / 2.0
+    gamma2 = (p + alpha * alpha + q / alpha_safe) / 2.0
+    disc1 = alpha * alpha - 4.0 * gamma1
+    disc2 = alpha * alpha - 4.0 * gamma2
+    s1 = jnp.sqrt(jnp.maximum(disc1, 0.0))
+    s2 = jnp.sqrt(jnp.maximum(disc2, 0.0))
+    yF = jnp.stack([(-alpha + s1) / 2.0, (-alpha - s1) / 2.0,
+                    (alpha + s2) / 2.0, (alpha - s2) / 2.0], axis=-1)
+    realF = jnp.stack([disc1 >= 0, disc1 >= 0, disc2 >= 0, disc2 >= 0], axis=-1)
+
+    # Biquadratic y^4 + p y^2 + r = 0: y^2 = (-p +- sqrt(p^2-4r))/2.
+    discB = p * p - 4.0 * r
+    sB = jnp.sqrt(jnp.maximum(discB, 0.0))
+    u1 = (-p + sB) / 2.0
+    u2 = (-p - sB) / 2.0
+    yB = jnp.stack([jnp.sqrt(jnp.maximum(u1, 0.0)),
+                    -jnp.sqrt(jnp.maximum(u1, 0.0)),
+                    jnp.sqrt(jnp.maximum(u2, 0.0)),
+                    -jnp.sqrt(jnp.maximum(u2, 0.0))], axis=-1)
+    realB = jnp.stack([(discB >= 0) & (u1 >= 0), (discB >= 0) & (u1 >= 0),
+                       (discB >= 0) & (u2 >= 0), (discB >= 0) & (u2 >= 0)], axis=-1)
+
+    y = jnp.where(biquad[..., None], yB, yF)
+    real = jnp.where(biquad[..., None], realB, realF)
+    return y - (b / 4.0)[..., None], real
 
 
 def _kabsch(P, Y):
@@ -120,9 +157,8 @@ def pose_p3p(p_world, f_bearing):
     a0 = A**2 - 2 * A * C - 4 * A * cg**2 + 2 * A + C**2 - 2 * C + 1
 
     a4_safe = jnp.where(jnp.abs(a4) < 1e-12, 1e-12, a4)
-    roots = solve_quartic(a3 / a4_safe, a2 / a4_safe, a1 / a4_safe, a0 / a4_safe)
-    v = jnp.real(roots)  # (..., 4)
-    root_ok = (jnp.abs(jnp.imag(roots)) < 1e-3) & (v > 1e-6)
+    v, real_ok = solve_quartic(a3 / a4_safe, a2 / a4_safe, a1 / a4_safe, a0 / a4_safe)
+    root_ok = real_ok & (v > 1e-6)
 
     # s1 from the beta equation: s1^2 (1 + v^2 - 2 v cb) = b^2.
     bb = b[..., None]

@@ -129,11 +129,15 @@ def test_triangulate_checks():
 
 def test_quartic_solver():
     # (x-1)(x-2)(x-3)(x-4) = x^4 -10x^3 +35x^2 -50x +24
-    roots = np.asarray(solve_quartic(jnp.asarray([-10.0]), jnp.asarray([35.0]),
-                                     jnp.asarray([-50.0]), jnp.asarray([24.0])))[0]
-    got = np.sort(np.real(roots))
+    roots, real_mask = solve_quartic(jnp.asarray([-10.0]), jnp.asarray([35.0]),
+                                     jnp.asarray([-50.0]), jnp.asarray([24.0]))
+    assert np.asarray(real_mask).all()
+    got = np.sort(np.asarray(roots)[0])
     np.testing.assert_allclose(got, [1, 2, 3, 4], atol=1e-2)
-    assert np.abs(np.imag(roots)).max() < 1e-2
+    # Complex-pair case: x^4 + 1 = 0 has no real roots.
+    _, rm2 = solve_quartic(jnp.asarray([0.0]), jnp.asarray([0.0]),
+                           jnp.asarray([0.0]), jnp.asarray([1.0]))
+    assert not np.asarray(rm2).any()
 
 
 def test_p3p_recovers_pose():
