@@ -177,16 +177,20 @@ class DMRecon:
         init_depth = _fill_sparse(seed_depth, seed_mask).astype(np.float32)
 
         # --- batched optimization
-        depth, score = self._optimize(
+        depth, score, kth = self._optimize(
             jnp.asarray(ref_level, jnp.float32), jnp.asarray(neigh, jnp.float32),
             jnp.asarray(np.stack(Ts), jnp.float32), jnp.asarray(np.stack(ts), jnp.float32),
             jnp.asarray(ray_z), jnp.asarray(init_depth), dmin, dmax)
         depth = np.asarray(depth)
         score = np.asarray(score)
+        kth = np.asarray(kth)
 
-        # --- confidence + acceptance (patch_optimization.cc:130-131)
+        # --- confidence + acceptance (patch_optimization.cc:130-131; the
+        # per-neighbor rule at :216 requires every selected view >=
+        # acceptNCC, i.e. the k-th best NCC).
         conf = (score - s.accept_ncc) / (1.0 - s.accept_ncc)
         conf = np.maximum(conf, 0.0)
+        conf = np.where(kth >= s.accept_ncc, conf, 0.0)
         accepted = conf > 0.0
         depth = np.where(accepted, depth, 0.0).astype(np.float32)
         self.filled_ratio = float(accepted.mean())
@@ -221,19 +225,22 @@ class DMRecon:
         fw = s.filter_width
         k = s.nr_recon_neighbors
 
-        def best_of(best_d, best_s, cands):
-            cs = ncc_score_multi(ref, neigh, T, tvec, ray_z,
-                                 jnp.stack(cands), filter_width=fw, top_k=k)
+        def best_of(best_d, best_s, best_k, cands):
+            cs, ck = ncc_score_multi(ref, neigh, T, tvec, ray_z,
+                                     jnp.stack(cands), filter_width=fw, top_k=k)
             all_s = jnp.concatenate([best_s[None], cs])
+            all_k = jnp.concatenate([best_k[None], ck])
             all_d = jnp.concatenate([best_d[None], jnp.stack(cands)])
             pick = jnp.argmax(all_s, axis=0)
             d = jnp.take_along_axis(all_d, pick[None], axis=0)[0]
             sc = jnp.take_along_axis(all_s, pick[None], axis=0)[0]
-            return d, sc
+            kk = jnp.take_along_axis(all_k, pick[None], axis=0)[0]
+            return d, sc, kk
 
         best_d = init_depth
-        best_s = ncc_score_multi(ref, neigh, T, tvec, ray_z, best_d[None],
-                                 filter_width=fw, top_k=k)[0]
+        s0, k0 = ncc_score_multi(ref, neigh, T, tvec, ray_z, best_d[None],
+                                 filter_width=fw, top_k=k)
+        best_s, best_k = s0[0], k0[0]
 
         # Global sweep: geometric fan around the initialization plus
         # absolute planes across [dmin, dmax] — one dispatch.
@@ -242,7 +249,7 @@ class DMRecon:
         absd = np.geomspace(max(dmin, 1e-4), dmax, max(n_planes - len(rel), 2))
         cands = [best_d * float(f) for f in rel]
         cands += [jnp.full_like(best_d, float(dv)) for dv in absd]
-        best_d, best_s = best_of(best_d, best_s, cands)
+        best_d, best_s, best_k = best_of(best_d, best_s, best_k, cands)
 
         # PatchMatch-style propagation: all shifts + perturbations of a
         # round in one dispatch.
@@ -251,7 +258,7 @@ class DMRecon:
             eps = 0.05 * (0.5 ** it)
             cands = [jnp.roll(best_d, (dy, dx), axis=(0, 1)) for dy, dx in shifts]
             cands += [best_d * (1.0 - eps), best_d * (1.0 + eps)]
-            best_d, best_s = best_of(best_d, best_s, cands)
+            best_d, best_s, best_k = best_of(best_d, best_s, best_k, cands)
 
         # Parabolic sub-candidate refinement (replaces the reference's
         # Gauss-Newton depth steps, patch_optimization.cc
@@ -260,9 +267,9 @@ class DMRecon:
             eps = 0.02 * (0.5 ** step)
             d_lo = best_d * (1.0 - eps)
             d_hi = best_d * (1.0 + eps)
-            both = ncc_score_multi(ref, neigh, T, tvec, ray_z,
-                                   jnp.stack([d_lo, d_hi]),
-                                   filter_width=fw, top_k=k)
+            both, _ = ncc_score_multi(ref, neigh, T, tvec, ray_z,
+                                      jnp.stack([d_lo, d_hi]),
+                                      filter_width=fw, top_k=k)
             s_lo, s_hi = both[0], both[1]
             denom = s_lo - 2.0 * best_s + s_hi
             offset = jnp.where(
@@ -270,10 +277,10 @@ class DMRecon:
                 jnp.clip(0.5 * (s_lo - s_hi) / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom), -1.0, 1.0),
                 0.0)
             cand = best_d * (1.0 + offset * eps)
-            best_d, best_s = best_of(best_d, best_s, [cand, d_lo, d_hi])
+            best_d, best_s, best_k = best_of(best_d, best_s, best_k, [cand, d_lo, d_hi])
 
         best_d = jnp.clip(best_d, dmin * 0.5, dmax * 2.0)
-        return best_d, best_s
+        return best_d, best_s, best_k
 
 
 def _image_at_level_color(img: np.ndarray, level: int) -> np.ndarray:

@@ -35,8 +35,8 @@ def ncc_score_multi(ref_img, neigh_imgs, T, tvec, ray_z, depths,
                     filter_width: int = 5, top_k: int = 4):
     """Score a stack of candidate depth maps in one dispatch.
 
-    depths: (K, H, W) -> scores (K, H, W). One device call per
-    propagation round instead of one per candidate.
+    depths: (K, H, W) -> (scores (K, H, W), kth-best NCC (K, H, W)).
+    One device call per propagation round instead of one per candidate.
     """
     return jax.vmap(
         lambda d: ncc_score(ref_img, neigh_imgs, T, tvec, ray_z, d,
@@ -129,10 +129,15 @@ def ncc_score(ref_img, neigh_imgs, T, tvec, ray_z, depth,
     ncc = jnp.where(valid, ncc, -1.0)
 
     # Mean over the top_k best neighbors per pixel (the batched analog of
-    # local view selection's "best 4 of the global set").
+    # local view selection's "best 4 of the global set"). The k-th best
+    # NCC rides in as a penalty so acceptance can require EVERY selected
+    # neighbor to reach acceptNCC (patch_optimization.cc:216 replaces
+    # views below acceptNCC; a pixel whose k-th view stays below fails).
     k = min(top_k, J)
     top = jax.lax.top_k(jnp.moveaxis(ncc, 0, -1), k)[0]  # (H, W, k)
     n_valid = jnp.sum(valid, axis=0)  # (H, W)
     score = jnp.mean(top, axis=-1)
+    kth = top[..., -1]
     score = jnp.where(n_valid >= k, score, -1.0)
-    return score
+    kth = jnp.where(n_valid >= k, kth, -1.0)
+    return score, kth
