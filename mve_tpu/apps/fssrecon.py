@@ -20,8 +20,8 @@ from ..utils.timer import WallTimer
 
 def fssr_reconstruct(input_paths, output_path: str | None = None, *,
                      scale_factor: float = 1.0, use_hermite: bool = False,
-                     cell_size: float | None = None,
-                     verbose: bool = True):
+                     cell_size: float | None = None, adaptive: bool = False,
+                     max_level: int = 10, verbose: bool = True):
     if isinstance(input_paths, str):
         input_paths = [input_paths]
     sample_lists = []
@@ -35,12 +35,25 @@ def fssr_reconstruct(input_paths, output_path: str | None = None, *,
         raise RuntimeError("No valid samples loaded")
 
     timer = WallTimer()
-    grid = IsoOctree(cell_size=cell_size).compute_voxels(samples)
-    if verbose:
-        print(f"Sampled implicit function at {len(grid.voxel_codes)} voxels, "
-              f"took {timer.get_elapsed()}ms.")
-    timer.reset()
-    mesh = IsoSurface(grid, use_hermite=use_hermite).extract_mesh()
+    if adaptive:
+        # Scale-adaptive octree dual contouring (crack-free across
+        # levels; resolution follows sample scale like the reference's
+        # adaptive MC).
+        from ..fssr.dual_contouring import DualContouring
+
+        dc = DualContouring(samples, max_level=max_level)
+        if verbose:
+            print(f"Octree with {len(dc.octree.leaf_level)} leaves, "
+                  f"took {timer.get_elapsed()}ms.")
+        timer.reset()
+        mesh = dc.extract_mesh()
+    else:
+        grid = IsoOctree(cell_size=cell_size).compute_voxels(samples)
+        if verbose:
+            print(f"Sampled implicit function at {len(grid.voxel_codes)} voxels, "
+                  f"took {timer.get_elapsed()}ms.")
+        timer.reset()
+        mesh = IsoSurface(grid, use_hermite=use_hermite).extract_mesh()
     if verbose:
         print(f"Extracted {mesh.num_faces()} faces, took {timer.get_elapsed()}ms.")
 
@@ -66,9 +79,14 @@ def main(argv=None) -> int:
                    help="Hermite iso-vertex interpolation")
     p.add_argument("--cell-size", type=float, default=None,
                    help="Override voxel grid cell size")
+    p.add_argument("--adaptive", action="store_true",
+                   help="Scale-adaptive octree extraction (dual contouring)")
+    p.add_argument("--max-level", type=int, default=10,
+                   help="Maximum octree level for --adaptive")
     args = p.parse_args(argv)
     fssr_reconstruct(args.inputs, args.output, scale_factor=args.scale_factor,
-                     use_hermite=args.hermite, cell_size=args.cell_size)
+                     use_hermite=args.hermite, cell_size=args.cell_size,
+                     adaptive=args.adaptive, max_level=args.max_level)
     return 0
 
 

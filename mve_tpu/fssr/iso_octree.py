@@ -46,6 +46,64 @@ class VoxelGrid:
         return self.origin[None, :] + np.stack([ix, iy, iz], axis=-1) * self.cell_size
 
 
+def evaluate_at_positions(samples: SampleList, positions: np.ndarray,
+                          pair_chunk: int = 2_000_000) -> dict:
+    """Evaluate the FSSR implicit function at arbitrary positions.
+
+    Returns dict of arrays value/conf/deriv/scale/color, each len(positions).
+    This is iso_octree.cc sample_ifn batched: influence pairing by grid
+    hashing, per-position scale filter, fused basis/weight kernel +
+    segment sums on device.
+    """
+    pos = samples.pos.astype(np.float64)
+    scale = samples.scale.astype(np.float64)
+    positions = np.asarray(positions, np.float64)
+    V = len(positions)
+    h = float(np.median(scale))
+
+    pair_v, pair_s = IsoOctree._influence_pairs(positions, pos, scale, h)
+    pair_v, pair_s = IsoOctree._scale_filter(pair_v, pair_s, scale, V)
+
+    value = np.zeros(V)
+    conf = np.zeros(V)
+    deriv = np.zeros((V, 3))
+    col = np.zeros((V, 3))
+    cw_total = np.zeros(V)
+    sw_total = np.zeros(V)
+    P = len(pair_v)
+    for start in range(0, P, pair_chunk):
+        sl = slice(start, min(start + pair_chunk, P))
+        pv = pair_v[sl]
+        ps = pair_s[sl]
+        out = evaluate_pairs(
+            jnp.asarray(positions[pv], jnp.float32),
+            jnp.asarray(pos[ps], jnp.float32),
+            jnp.asarray(samples.normal[ps], jnp.float32),
+            jnp.asarray(scale[ps], jnp.float32),
+            jnp.asarray(samples.confidence[ps], jnp.float32),
+            jnp.asarray(samples.color[ps], jnp.float32),
+        )
+        seg = jnp.asarray(pv)
+        value += np.asarray(jax.ops.segment_sum(out["vw"], seg, num_segments=V), np.float64)
+        conf += np.asarray(jax.ops.segment_sum(out["w"], seg, num_segments=V), np.float64)
+        deriv += np.asarray(jax.ops.segment_sum(out["dvw"], seg, num_segments=V), np.float64)
+        col += np.asarray(jax.ops.segment_sum(out["c"], seg, num_segments=V), np.float64)
+        cw_total += np.asarray(jax.ops.segment_sum(out["cw"], seg, num_segments=V), np.float64)
+        sw_total += np.asarray(jax.ops.segment_sum(out["sw"], seg, num_segments=V), np.float64)
+
+    # F = sum(f w c)/sum(w c); the derivative keeps the dominant quotient
+    # term (exact at the zero crossing, iso_octree.cc:121-169).
+    w_safe = np.where(conf > 0, conf, 1.0)
+    cw_safe = np.where(cw_total > 0, cw_total, 1.0)
+    return {
+        "value": np.where(conf > 0, value / w_safe, 0.0),
+        "conf": conf,
+        "deriv": deriv / w_safe[:, None],
+        "scale": sw_total / cw_safe,
+        "color": col / cw_safe[:, None],
+    }
+
+
 class IsoOctree:
     """Voxel evaluation engine (mirrors fssr::IsoOctree's compute_voxels)."""
 
@@ -101,58 +159,11 @@ class IsoOctree:
         vz = voxel_codes // stride_z
         voxel_pos = origin[None, :] + np.stack([vx, vy, vz], axis=-1) * h
 
-        # --- influence pairs via per-octave grid hashing.
-        pair_v, pair_s = self._influence_pairs(voxel_pos, pos, scale, h)
-
-        # --- per-voxel scale filter (iso_octree.cc:104-112).
-        pair_v, pair_s = self._scale_filter(pair_v, pair_s, scale, V)
-
-        # --- device evaluation (chunked segment sums).
-        value = np.zeros(V)
-        conf = np.zeros(V)
-        deriv = np.zeros((V, 3))
-        col = np.zeros((V, 3))
-        cw_total = np.zeros(V)
-        sw_total = np.zeros(V)
-        P = len(pair_v)
-        for start in range(0, P, self.pair_chunk):
-            sl = slice(start, min(start + self.pair_chunk, P))
-            pv = pair_v[sl]
-            ps = pair_s[sl]
-            out = evaluate_pairs(
-                jnp.asarray(voxel_pos[pv], jnp.float32),
-                jnp.asarray(pos[ps], jnp.float32),
-                jnp.asarray(samples.normal[ps], jnp.float32),
-                jnp.asarray(scale[ps], jnp.float32),
-                jnp.asarray(samples.confidence[ps], jnp.float32),
-                jnp.asarray(samples.color[ps], jnp.float32),
-            )
-            seg = jnp.asarray(pv)
-            value += np.asarray(jax.ops.segment_sum(out["vw"], seg, num_segments=V), np.float64)
-            conf += np.asarray(jax.ops.segment_sum(out["w"], seg, num_segments=V), np.float64)
-            deriv += np.asarray(jax.ops.segment_sum(out["dvw"], seg, num_segments=V), np.float64)
-            col += np.asarray(jax.ops.segment_sum(out["c"], seg, num_segments=V), np.float64)
-            cw_total += np.asarray(jax.ops.segment_sum(out["cw"], seg, num_segments=V), np.float64)
-            sw_total += np.asarray(jax.ops.segment_sum(out["sw"], seg, num_segments=V), np.float64)
-
-        # F = sum(f w c)/sum(w c); deriv via quotient rule
-        # (iso_octree.cc:121-169).
-        w_safe = np.where(conf > 0, conf, 1.0)
-        f_value = value / w_safe
-        # deriv currently holds sum(d(fw)); quotient rule needs dw sums too —
-        # recompute via second pass accumulators is costly; we use the
-        # dominant term (sum d(fw))/sum(w) which matches the reference at
-        # the zero crossing where total_value ~ 0.
-        f_deriv = deriv / w_safe[:, None]
-        cw_safe = np.where(cw_total > 0, cw_total, 1.0)
+        data = evaluate_at_positions(samples, voxel_pos, self.pair_chunk)
         return VoxelGrid(
             origin=origin, cell_size=h, dims=dims, voxel_codes=voxel_codes,
-            value=np.where(conf > 0, f_value, 0.0),
-            conf=conf,
-            deriv=f_deriv,
-            scale=sw_total / cw_safe,
-            color=col / cw_safe[:, None],
-            active_cells=cells,
+            value=data["value"], conf=data["conf"], deriv=data["deriv"],
+            scale=data["scale"], color=data["color"], active_cells=cells,
         )
 
     # ------------------------------------------------------------------

@@ -1,0 +1,77 @@
+"""Scale-adaptive dual-contouring extraction tests."""
+
+from collections import Counter
+
+import numpy as np
+
+from mve_tpu.fssr.dual_contouring import DualContouring
+from mve_tpu.fssr.octree import build_octree
+from mve_tpu.fssr.sample import SampleList, merge_samples
+
+from tests.test_fssr import _sphere_samples
+
+
+def _edge_counts(mesh):
+    cnt = Counter()
+    for f in mesh.faces:
+        for a, b in ((0, 1), (1, 2), (2, 0)):
+            cnt[tuple(sorted((int(f[a]), int(f[b]))))] += 1
+    return np.array(list(cnt.values()))
+
+
+def test_octree_partition():
+    """Leaves tile space: total volume equals the root volume."""
+    samples = _sphere_samples(n=500, scale=0.15)
+    octree = build_octree(samples, max_level=6)
+    sizes = octree.root_size / (2.0 ** octree.leaf_level.astype(np.float64))
+    vol = np.sum(sizes**3)
+    np.testing.assert_allclose(vol, octree.root_size**3, rtol=1e-9)
+    # No duplicate leaves.
+    keys = set(zip(octree.leaf_level.tolist(),
+                   map(tuple, octree.leaf_coord.tolist())))
+    assert len(keys) == len(octree.leaf_level)
+
+
+def test_dc_sphere_watertight():
+    samples = _sphere_samples(n=2000, scale=0.12)
+    mesh = DualContouring(samples, max_level=7).extract_mesh()
+    assert mesh.num_faces() > 500
+    r = np.linalg.norm(mesh.vertices, axis=1)
+    assert abs(np.median(r) - 1.0) < 0.02
+    assert r.std() < 0.02
+    # Watertight: every edge shared by exactly two faces.
+    counts = _edge_counts(mesh)
+    assert (counts == 2).all()
+    # Consistent outward orientation.
+    mesh.recalc_normals()
+    outward = np.sum(mesh.vertex_normals * mesh.vertices, axis=1)
+    assert (outward > 0).mean() > 0.99
+
+
+def _hemisphere(n, scale, upper, seed):
+    rng = np.random.RandomState(seed)
+    d = rng.randn(n, 3)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d[:, 2] = np.abs(d[:, 2]) * (1 if upper else -1)
+    return SampleList(pos=d.astype(np.float32), normal=d.astype(np.float32),
+                      color=np.full((n, 3), 0.5, np.float32),
+                      scale=np.full(n, scale, np.float32),
+                      confidence=np.ones(n, np.float32))
+
+
+def test_dc_scale_adaptive():
+    """Mixed-scale input: triangle size follows local sample scale."""
+    both = merge_samples([
+        _hemisphere(4000, 0.05, True, 0),
+        _hemisphere(400, 0.3, False, 1),
+    ])
+    mesh = DualContouring(both, max_level=8).extract_mesh()
+    v, f = mesh.vertices, mesh.faces
+    ctr = v[f].mean(axis=1)
+    area = 0.5 * np.linalg.norm(
+        np.cross(v[f[:, 1]] - v[f[:, 0]], v[f[:, 2]] - v[f[:, 0]]), axis=1)
+    top = np.median(area[ctr[:, 2] > 0.3])
+    bottom = np.median(area[ctr[:, 2] < -0.3])
+    assert bottom > 10 * top, f"not adaptive: top {top}, bottom {bottom}"
+    r = np.linalg.norm(v, axis=1)
+    assert abs(np.median(r) - 1.0) < 0.05
