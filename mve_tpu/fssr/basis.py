@@ -23,6 +23,24 @@ import jax.numpy as jnp
 
 
 @jax.jit
+def evaluate_pairs_indexed(positions, pos, normal, scale, conf, color,
+                           pair_v, pair_s, num_segments_arr):
+    """Gather pair operands on device and evaluate + segment-sum.
+
+    positions: (V, 3); sample arrays (N, ...); pair_v/pair_s: (P,) int32.
+    num_segments_arr: (V,)-shaped dummy fixing the segment count. Returns
+    stacked per-voxel sums [vw, w, cw, sw, dvw(3), c(3)] as (V, 10).
+    """
+    out = evaluate_pairs(positions[pair_v], pos[pair_s], normal[pair_s],
+                         scale[pair_s], conf[pair_s], color[pair_s])
+    V = num_segments_arr.shape[0]
+    flat = jnp.concatenate([
+        out["vw"][:, None], out["w"][:, None], out["cw"][:, None],
+        out["sw"][:, None], out["dvw"], out["c"]], axis=1)
+    return jax.ops.segment_sum(flat, pair_v, num_segments=V)
+
+
+@jax.jit
 def evaluate_pairs(voxel_pos, sample_pos, sample_normal, sample_scale,
                    sample_conf, sample_color):
     """Evaluate basis*weight contributions for influence pairs.

@@ -64,32 +64,33 @@ def evaluate_at_positions(samples: SampleList, positions: np.ndarray,
     pair_v, pair_s = IsoOctree._influence_pairs(positions, pos, scale, h)
     pair_v, pair_s = IsoOctree._scale_filter(pair_v, pair_s, scale, V)
 
-    value = np.zeros(V)
-    conf = np.zeros(V)
-    deriv = np.zeros((V, 3))
-    col = np.zeros((V, 3))
-    cw_total = np.zeros(V)
-    sw_total = np.zeros(V)
+    # Ship samples/positions once; per chunk only the int32 pair indices
+    # cross to the device (gathers + segment-sum happen there).
+    from .basis import evaluate_pairs_indexed
+
+    d_positions = jnp.asarray(positions, jnp.float32)
+    d_pos = jnp.asarray(pos, jnp.float32)
+    d_normal = jnp.asarray(samples.normal, jnp.float32)
+    d_scale = jnp.asarray(scale, jnp.float32)
+    d_conf = jnp.asarray(samples.confidence, jnp.float32)
+    d_color = jnp.asarray(samples.color, jnp.float32)
+    seg_dummy = jnp.zeros(V, jnp.int8)
+
+    sums = np.zeros((V, 10))
     P = len(pair_v)
     for start in range(0, P, pair_chunk):
         sl = slice(start, min(start + pair_chunk, P))
-        pv = pair_v[sl]
-        ps = pair_s[sl]
-        out = evaluate_pairs(
-            jnp.asarray(positions[pv], jnp.float32),
-            jnp.asarray(pos[ps], jnp.float32),
-            jnp.asarray(samples.normal[ps], jnp.float32),
-            jnp.asarray(scale[ps], jnp.float32),
-            jnp.asarray(samples.confidence[ps], jnp.float32),
-            jnp.asarray(samples.color[ps], jnp.float32),
-        )
-        seg = jnp.asarray(pv)
-        value += np.asarray(jax.ops.segment_sum(out["vw"], seg, num_segments=V), np.float64)
-        conf += np.asarray(jax.ops.segment_sum(out["w"], seg, num_segments=V), np.float64)
-        deriv += np.asarray(jax.ops.segment_sum(out["dvw"], seg, num_segments=V), np.float64)
-        col += np.asarray(jax.ops.segment_sum(out["c"], seg, num_segments=V), np.float64)
-        cw_total += np.asarray(jax.ops.segment_sum(out["cw"], seg, num_segments=V), np.float64)
-        sw_total += np.asarray(jax.ops.segment_sum(out["sw"], seg, num_segments=V), np.float64)
+        out = evaluate_pairs_indexed(
+            d_positions, d_pos, d_normal, d_scale, d_conf, d_color,
+            jnp.asarray(pair_v[sl].astype(np.int32)),
+            jnp.asarray(pair_s[sl].astype(np.int32)), seg_dummy)
+        sums += np.asarray(out, np.float64)
+    value = sums[:, 0]
+    conf = sums[:, 1]
+    cw_total = sums[:, 2]
+    sw_total = sums[:, 3]
+    deriv = sums[:, 4:7]
+    col = sums[:, 7:10]
 
     # F = sum(f w c)/sum(w c); the derivative keeps the dominant quotient
     # term (exact at the zero crossing, iso_octree.cc:121-169).
@@ -202,9 +203,12 @@ class IsoOctree:
                         reps = counts[nz]
                         v_ids = np.repeat(nz, reps)
                         starts = lo[nz]
-                        # ranges [start, start+rep) into sel_sorted
-                        idx = np.concatenate(
-                            [np.arange(s, s + r) for s, r in zip(starts, reps)])
+                        # Vectorized range expansion: index k within its
+                        # group plus the group's start.
+                        total = int(reps.sum())
+                        group_start = np.repeat(starts, reps)
+                        group_base = np.repeat(np.cumsum(reps) - reps, reps)
+                        idx = group_start + (np.arange(total) - group_base)
                         s_ids = sel_sorted[idx]
                         d = voxel_pos[v_ids] - pos[s_ids]
                         ok = np.sum(d * d, axis=1) < (3.0 * scale[s_ids]) ** 2

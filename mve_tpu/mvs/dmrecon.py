@@ -219,15 +219,16 @@ class DMRecon:
         dispatch (ncc_score_multi) — candidate counts are static so the
         number of compiled programs stays small.
         """
-        from .patch import ncc_score_multi
+        from .patch import ncc_score_box, ncc_score_multi
 
         s = self.settings
+        score_fn = ncc_score_multi if s.exact_ncc else ncc_score_box
         fw = s.filter_width
         k = s.nr_recon_neighbors
 
         def best_of(best_d, best_s, best_k, cands):
-            cs, ck = ncc_score_multi(ref, neigh, T, tvec, ray_z,
-                                     jnp.stack(cands), filter_width=fw, top_k=k)
+            cs, ck = score_fn(ref, neigh, T, tvec, ray_z,
+                              jnp.stack(cands), filter_width=fw, top_k=k)
             all_s = jnp.concatenate([best_s[None], cs])
             all_k = jnp.concatenate([best_k[None], ck])
             all_d = jnp.concatenate([best_d[None], jnp.stack(cands)])
@@ -238,8 +239,8 @@ class DMRecon:
             return d, sc, kk
 
         best_d = init_depth
-        s0, k0 = ncc_score_multi(ref, neigh, T, tvec, ray_z, best_d[None],
-                                 filter_width=fw, top_k=k)
+        s0, k0 = score_fn(ref, neigh, T, tvec, ray_z, best_d[None],
+                          filter_width=fw, top_k=k)
         best_s, best_k = s0[0], k0[0]
 
         # Global sweep: geometric fan around the initialization plus
@@ -267,9 +268,9 @@ class DMRecon:
             eps = 0.02 * (0.5 ** step)
             d_lo = best_d * (1.0 - eps)
             d_hi = best_d * (1.0 + eps)
-            both, _ = ncc_score_multi(ref, neigh, T, tvec, ray_z,
-                                      jnp.stack([d_lo, d_hi]),
-                                      filter_width=fw, top_k=k)
+            both, _ = score_fn(ref, neigh, T, tvec, ray_z,
+                               jnp.stack([d_lo, d_hi]),
+                               filter_width=fw, top_k=k)
             s_lo, s_hi = both[0], both[1]
             denom = s_lo - 2.0 * best_s + s_hi
             offset = jnp.where(

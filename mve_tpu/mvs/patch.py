@@ -30,6 +30,104 @@ def make_patch_offsets(filter_width: int):
     return tuple(offs)
 
 
+def _box_sum(x, w: int):
+    """Separable w x w box sum with edge padding; x: (..., H, W)."""
+    r = w // 2
+    pad = [(0, 0)] * (x.ndim - 2) + [(r, r), (0, 0)]
+    x = jnp.pad(x, pad, mode="edge")
+    x = jnp.cumsum(x, axis=-2)
+    upper = x[..., w - 1 :, :]
+    lower = jnp.pad(x[..., : -w, :], [(0, 0)] * (x.ndim - 2) + [(1, 0), (0, 0)])
+    x = upper - lower
+    pad = [(0, 0)] * (x.ndim - 2) + [(0, 0), (r, r)]
+    x = jnp.pad(x, pad, mode="edge")
+    x = jnp.cumsum(x, axis=-1)
+    upper = x[..., :, w - 1 :]
+    lower = jnp.pad(x[..., :, : -w], [(0, 0)] * (x.ndim - 2) + [(0, 0), (1, 0)])
+    return upper - lower
+
+
+@functools.partial(jax.jit, static_argnames=("filter_width", "top_k"))
+def ncc_score_box(ref_img, neigh_imgs, T, tvec, ray_z, depths,
+                  filter_width: int = 5, top_k: int = 4):
+    """Box-filter NCC over candidate depth stacks — the fast formulation.
+
+    Warps each pixel ONCE per (neighbor, candidate) with its own depth
+    and computes windowed statistics with separable box sums (dense VPU
+    work) instead of 25 gathers per pixel. Exact when depth is locally
+    constant over the patch; at depth edges it mixes neighboring pixels'
+    depths where the exact kernel (ncc_score) uses the center's
+    fronto-parallel plane. 25x less gather traffic.
+
+    depths: (K, H, W). Returns (score (K, H, W), kth (K, H, W)).
+    """
+    K = depths.shape[0]
+    H, W = ref_img.shape
+    J, Hn, Wn = neigh_imgs.shape
+    fw = filter_width
+    n_taps = fw * fw
+
+    ys, xs = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                          jnp.arange(W, dtype=jnp.float32), indexing="ij")
+    z = depths * ray_z[None]  # (K, H, W)
+    qx = xs + 0.5
+    qy = ys + 0.5
+
+    # Warp all pixels for all (J, K): h = T (qx qy 1) z + t.
+    hx = (T[:, 0, 0, None, None, None] * qx + T[:, 0, 1, None, None, None] * qy
+          + T[:, 0, 2, None, None, None]) * z[None] + tvec[:, 0, None, None, None]
+    hy = (T[:, 1, 0, None, None, None] * qx + T[:, 1, 1, None, None, None] * qy
+          + T[:, 1, 2, None, None, None]) * z[None] + tvec[:, 1, None, None, None]
+    hz = (T[:, 2, 0, None, None, None] * qx + T[:, 2, 1, None, None, None] * qy
+          + T[:, 2, 2, None, None, None]) * z[None] + tvec[:, 2, None, None, None]
+    hz_safe = jnp.where(jnp.abs(hz) < 1e-20, 1e-20, hz)
+    u = hx / hz_safe - 0.5  # (J, K, H, W)
+    v = hy / hz_safe - 0.5
+    inb = (u >= 0) & (u <= Wn - 1) & (v >= 0) & (v <= Hn - 1) & (hz > 0)
+
+    u0 = jnp.clip(jnp.floor(u), 0, Wn - 2)
+    v0 = jnp.clip(jnp.floor(v), 0, Hn - 2)
+    fu = jnp.clip(u - u0, 0.0, 1.0)
+    fv = jnp.clip(v - v0, 0.0, 1.0)
+    u0i = u0.astype(jnp.int32)
+    v0i = v0.astype(jnp.int32)
+    jidx = jnp.arange(J)[:, None, None, None]
+    p00 = neigh_imgs[jidx, v0i, u0i]
+    p01 = neigh_imgs[jidx, v0i, u0i + 1]
+    p10 = neigh_imgs[jidx, v0i + 1, u0i]
+    p11 = neigh_imgs[jidx, v0i + 1, u0i + 1]
+    nv = (p00 * (1 - fu) * (1 - fv) + p01 * fu * (1 - fv)
+          + p10 * (1 - fu) * fv + p11 * fu * fv)
+    nv = jnp.where(inb, nv, 0.0)
+
+    # Reference statistics once.
+    sum_r = _box_sum(ref_img, fw)
+    sum_rr = _box_sum(ref_img * ref_img, fw)
+    mean_r = sum_r / n_taps
+    var_r = sum_rr / n_taps - mean_r * mean_r
+
+    # Neighbor statistics per (J, K).
+    cnt = _box_sum(inb.astype(jnp.float32), fw)
+    full = cnt >= n_taps - 0.5
+    sum_n = _box_sum(nv, fw)
+    sum_nn = _box_sum(nv * nv, fw)
+    sum_rn = _box_sum(nv * ref_img[None, None], fw)
+    mean_n = sum_n / n_taps
+    var_n = sum_nn / n_taps - mean_n * mean_n
+    cov = sum_rn / n_taps - mean_r[None, None] * mean_n
+    denom = jnp.sqrt(jnp.maximum(var_r[None, None] * var_n, 1e-12))
+    ncc = jnp.where(full, cov / denom, -1.0)  # (J, K, H, W)
+
+    k = min(top_k, J)
+    top = jax.lax.top_k(jnp.moveaxis(ncc, 0, -1), k)[0]  # (K, H, W, k)
+    n_valid = jnp.sum(full, axis=0)  # (K, H, W)
+    score = jnp.mean(top, axis=-1)
+    kth = top[..., -1]
+    score = jnp.where(n_valid >= k, score, -1.0)
+    kth = jnp.where(n_valid >= k, kth, -1.0)
+    return score, kth
+
+
 @functools.partial(jax.jit, static_argnames=("filter_width", "top_k"))
 def ncc_score_multi(ref_img, neigh_imgs, T, tvec, ray_z, depths,
                     filter_width: int = 5, top_k: int = 4):

@@ -34,3 +34,4 @@ class Settings:
     num_sweep_planes: int = 48     # initial depth candidates per pixel
     num_propagation_iters: int = 8
     num_refine_steps: int = 3
+    exact_ncc: bool = False        # True = per-tap warped patches (slower)
