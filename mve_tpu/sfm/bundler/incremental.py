@@ -147,41 +147,151 @@ class Incremental:
     # ------------------------------------------------------------------
     def triangulate_new_tracks(self, min_num_views: int = 2) -> None:
         """Pair-exhaustive triangulation with outlier splitting
-        (bundler_incremental.cc:300-380, triangulate.cc Triangulate)."""
+        (bundler_incremental.cc:300-380, triangulate.cc Triangulate).
+
+        Vectorized: all candidate tracks' pose pairs triangulate in one
+        batched DLT; per-pair outlier evaluation over padded view lists;
+        best pair per track selected by fewest outliers.
+        """
         error_thr = self.opts.new_track_error_threshold
         cos_angle_thr = np.cos(self.opts.min_triangulation_angle)
-        n_new = 0
         n_tracks_before = len(self.tracks)
+
+        # ---- collect candidate tracks and their valid observations.
+        cand_tracks = []   # track index
+        obs_views = []     # list of arrays of view ids
+        obs_feats = []
+        obs_pos = []       # list of (V_i, 2) undistorted positions
+        valid_pose = np.array([vp.pose.is_valid() for vp in self.viewports])
+        und_cache = {}
         for ti in range(n_tracks_before):
             track = self.tracks[ti]
-            if track.is_valid():
+            if track.is_valid() or not track.features:
                 continue
-            pos, poses, view_ids, feature_ids = [], [], [], []
-            for ref in track.features:
-                vp = self.viewports[ref.view_id]
-                if not vp.pose.is_valid():
-                    continue
-                pos.append(undistort_feature(
-                    vp.positions[ref.feature_id], float(vp.radial_distortion[0]),
-                    float(vp.radial_distortion[1]), vp.focal_length))
-                poses.append(vp.pose)
-                view_ids.append(ref.view_id)
-                feature_ids.append(ref.feature_id)
-            if len(poses) < min_num_views:
+            vids = np.array([r.view_id for r in track.features], np.int64)
+            fids = np.array([r.feature_id for r in track.features], np.int64)
+            ok = valid_pose[vids]
+            if int(ok.sum()) < min_num_views:
                 continue
-            res = _triangulate_pair_exhaustive(
-                poses, pos, error_thr, cos_angle_thr, min_num_views)
-            if res is None:
+            vids, fids = vids[ok], fids[ok]
+            ps = []
+            for vid, fid in zip(vids, fids):
+                vp = self.viewports[vid]
+                key = vid
+                if key not in und_cache:
+                    und_cache[key] = undistort_features(
+                        vp.positions, float(vp.radial_distortion[0]),
+                        float(vp.radial_distortion[1]), vp.focal_length)
+                ps.append(und_cache[key][fid])
+            cand_tracks.append(ti)
+            obs_views.append(vids)
+            obs_feats.append(fids)
+            obs_pos.append(np.asarray(ps, np.float64))
+        if not cand_tracks:
+            if self.opts.verbose_output:
+                print("Triangulated 0 new tracks.")
+            return
+
+        pmats = {i: vp.pose.fill_p_matrix() for i, vp in enumerate(self.viewports)
+                 if valid_pose[i]}
+        centers = {i: vp.pose.fill_camera_pos() for i, vp in enumerate(self.viewports)
+                   if valid_pose[i]}
+
+        # ---- flatten all pose pairs of all candidate tracks.
+        rows_t, rows_pa, rows_pb = [], [], []
+        Pa, Pb, Ca, Cb = [], [], [], []
+        for ci, (vids, ps) in enumerate(zip(obs_views, obs_pos)):
+            V = len(vids)
+            for a in range(V):
+                for b in range(a + 1, V):
+                    rows_t.append(ci)
+                    rows_pa.append(ps[a])
+                    rows_pb.append(ps[b])
+                    Pa.append(pmats[vids[a]])
+                    Pb.append(pmats[vids[b]])
+                    Ca.append(centers[vids[a]])
+                    Cb.append(centers[vids[b]])
+        rows_t = np.array(rows_t, np.int64)
+        pa = np.asarray(rows_pa)
+        pb = np.asarray(rows_pb)
+        Pa = np.asarray(Pa)
+        Pb = np.asarray(Pb)
+        Ca = np.asarray(Ca)
+        Cb = np.asarray(Cb)
+        R = len(rows_t)
+
+        # ---- batched two-view DLT (numpy; 4x4 SVDs are host-cheap).
+        A = np.stack([
+            pa[:, 0, None] * Pa[:, 2] - Pa[:, 0],
+            pa[:, 1, None] * Pa[:, 2] - Pa[:, 1],
+            pb[:, 0, None] * Pb[:, 2] - Pb[:, 0],
+            pb[:, 1, None] * Pb[:, 2] - Pb[:, 1],
+        ], axis=1)  # (R, 4, 4)
+        _, _, vt = np.linalg.svd(A)
+        Xh = vt[:, -1, :]
+        w = Xh[:, 3]
+        X = Xh[:, :3] / np.where(np.abs(w[:, None]) < 1e-30, 1e-30, w[:, None])
+        finite = np.isfinite(X).all(axis=1)
+
+        # Angle check.
+        r0 = X - Ca
+        r1 = X - Cb
+        n0 = np.linalg.norm(r0, axis=1)
+        n1 = np.linalg.norm(r1, axis=1)
+        cosang = np.sum(r0 * r1, axis=1) / np.maximum(n0 * n1, 1e-30)
+        angle_ok = cosang <= cos_angle_thr
+
+        # ---- outlier counts: project X of each row into every view of
+        # its track (padded).
+        Vmax = max(len(v) for v in obs_views)
+        pad_P = np.zeros((len(cand_tracks), Vmax, 3, 4))
+        pad_obs = np.zeros((len(cand_tracks), Vmax, 2))
+        pad_valid = np.zeros((len(cand_tracks), Vmax), bool)
+        for ci, (vids, ps) in enumerate(zip(obs_views, obs_pos)):
+            for k, vid in enumerate(vids):
+                pad_P[ci, k] = pmats[vid]
+                pad_obs[ci, k] = ps[k]
+                pad_valid[ci, k] = True
+        rp = pad_P[rows_t]        # (R, Vmax, 3, 4)
+        robs = pad_obs[rows_t]
+        rvalid = pad_valid[rows_t]
+        Xh1 = np.concatenate([X, np.ones((R, 1))], axis=1)
+        proj = np.einsum("rvij,rj->rvi", rp, Xh1)
+        behind = proj[..., 2] <= 0.0
+        uv = proj[..., :2] / np.where(np.abs(proj[..., 2:]) < 1e-30, 1e-30, proj[..., 2:])
+        err = np.linalg.norm(uv - robs, axis=-1)
+        outlier = (behind | (err > error_thr)) & rvalid
+        n_out = outlier.sum(axis=1)
+        usable = finite & angle_ok
+        n_out_eff = np.where(usable, n_out, Vmax + 1)
+
+        # ---- best pair per track.
+        order = np.lexsort((n_out_eff, rows_t))
+        first = np.ones(len(order), bool)
+        first[1:] = rows_t[order][1:] != rows_t[order][:-1]
+        best_rows = order[first]
+
+        n_new = 0
+        for row in best_rows:
+            ci = int(rows_t[row])
+            if not usable[row]:
                 continue
-            track_pos, outliers = res
-            track.pos = track_pos
+            vids = obs_views[ci]
+            fids = obs_feats[ci]
+            V = len(vids)
+            outs = np.nonzero(outlier[row][:V])[0]
+            if V < len(outs) + min_num_views:
+                continue
+            ti = cand_tracks[ci]
+            track = self.tracks[ti]
+            track.pos = X[row].copy()
             n_new += 1
-            if outliers:
+            if len(outs):
                 new_track = Track()
                 new_track.invalidate()
                 new_track.color = track.color.copy()
-                for oi in outliers:
-                    vid, fid = view_ids[oi], feature_ids[oi]
+                for oi in outs:
+                    vid, fid = int(vids[oi]), int(fids[oi])
                     track.remove_view(vid)
                     new_track.features.append(FeatureReference(vid, fid))
                     self.viewports[vid].track_ids[fid] = len(self.tracks)
@@ -291,32 +401,46 @@ class Incremental:
     def invalidate_large_error_tracks(self) -> None:
         """Drop tracks whose mean squared reprojection error exceeds
         factor x median error (bundler_incremental.cc:578-655)."""
-        all_errors = []
+        # Flatten all (track, observation) pairs and evaluate vectorized.
+        valid_pose = np.array([vp.pose.is_valid() for vp in self.viewports])
+        obs_t, obs_v, obs_f = [], [], []
+        track_ids = []
         for i, track in enumerate(self.tracks):
             if not track.is_valid():
                 continue
-            pos3d = track.pos
-            total = 0.0
-            n = 0
+            track_ids.append(i)
             for ref in track.features:
-                vp = self.viewports[ref.view_id]
-                if not vp.pose.is_valid():
-                    continue
-                x = vp.pose.R @ pos3d + vp.pose.t
-                x2d = x[:2] / x[2]
-                r2 = float(x2d @ x2d)
-                factor = (1.0 + r2 * (vp.radial_distortion[0]
-                                      + vp.radial_distortion[1] * r2)) * vp.pose.get_focal_length()
-                x2d = x2d * factor
-                d = vp.positions[ref.feature_id] - x2d
-                total += float(d @ d)
-                n += 1
-            if n == 0:
-                continue
-            all_errors.append((total / n, i))
-        if len(all_errors) < 2:
+                if valid_pose[ref.view_id]:
+                    obs_t.append(len(track_ids) - 1)
+                    obs_v.append(ref.view_id)
+                    obs_f.append(ref.feature_id)
+        if len(track_ids) < 2 or not obs_t:
             return
-        errs = np.array([e for e, _ in all_errors])
+        obs_t = np.array(obs_t)
+        obs_v = np.array(obs_v)
+        obs_f = np.array(obs_f)
+        T = len(track_ids)
+        pos3d = np.array([self.tracks[i].pos for i in track_ids])
+        Rm = np.array([self.viewports[v].pose.R for v in obs_v])
+        tv = np.array([self.viewports[v].pose.t for v in obs_v])
+        flen = np.array([self.viewports[v].pose.get_focal_length() for v in obs_v])
+        k0 = np.array([self.viewports[v].radial_distortion[0] for v in obs_v])
+        k1 = np.array([self.viewports[v].radial_distortion[1] for v in obs_v])
+        p2d = np.array([self.viewports[v].positions[f] for v, f in zip(obs_v, obs_f)],
+                       np.float64)
+        x = np.einsum("oij,oj->oi", Rm, pos3d[obs_t]) + tv
+        x2d = x[:, :2] / np.where(np.abs(x[:, 2:]) < 1e-30, 1e-30, x[:, 2:])
+        r2 = np.sum(x2d * x2d, axis=1)
+        factor = (1.0 + r2 * (k0 + k1 * r2)) * flen
+        d = p2d - x2d * factor[:, None]
+        sq = np.sum(d * d, axis=1)
+        total = np.zeros(T)
+        count = np.zeros(T)
+        np.add.at(total, obs_t, sq)
+        np.add.at(count, obs_t, 1)
+        ok = count > 0
+        errs = total[ok] / count[ok]
+        all_errors = list(zip(errs, np.array(track_ids)[ok]))
         nth = len(errs) // 2
         median = np.partition(errs, nth)[nth]
         threshold = median * self.opts.track_error_threshold_factor
