@@ -90,6 +90,84 @@ def import_bundle(input_path: str, scene_path: str, fmt: str = "auto") -> int:
     return len(bundle.cameras)
 
 
+def import_bundle_noah_ps(input_path: str, scene_path: str, *,
+                          bundle_id: int = 0, import_original: bool = False) -> int:
+    """Photosynther / Noah Bundler workspace -> scene
+    (makescene.cc:514 import_bundle_noah_ps).
+
+    Photosynther layout: bundle/synth_N.out + images/ (+ undistorted/);
+    Bundler layout: bundle/bundle.out + list.txt (+ images at listed paths).
+    """
+    from ..core import image_tools
+
+    bundle_dir = os.path.join(input_path, "bundle")
+    fmt = None
+    bundle_fname = os.path.join(bundle_dir, f"synth_{bundle_id}.out")
+    if os.path.isfile(bundle_fname):
+        fmt = "photosynther"
+    else:
+        name = "bundle.out" if bundle_id == 0 else f"bundle_{bundle_id:03d}.out"
+        bundle_fname = os.path.join(bundle_dir, name)
+        if os.path.isfile(bundle_fname):
+            fmt = "bundler"
+    if fmt is None:
+        raise IOError(f"{input_path}: could not detect bundle format")
+
+    if fmt == "photosynther":
+        bundle = bundle_io.load_photosynther_bundle(bundle_fname)
+        undist_dir = os.path.join(input_path, "undistorted")
+        image_files = sorted(
+            os.path.join(undist_dir, f) for f in os.listdir(undist_dir)
+            if os.path.splitext(f)[1].lower() in IMAGE_EXTS) if os.path.isdir(undist_dir) else []
+    else:
+        bundle = bundle_io.load_bundler_bundle(bundle_fname)
+        listfile = os.path.join(input_path, "list.txt")
+        image_files = []
+        if os.path.isfile(listfile):
+            with open(listfile) as f:
+                for line in f:
+                    parts = line.split()
+                    if parts:
+                        path = parts[0]
+                        if not os.path.isabs(path):
+                            path = os.path.join(input_path, path)
+                        image_files.append(path)
+
+    scene = Scene.create(scene_path)
+    n = len(bundle.cameras)
+    for i in range(n):
+        cam = bundle.cameras[i]
+        view = View.create(scene.view_dir_for_id(i), i)
+        img = None
+        if i < len(image_files) and os.path.isfile(image_files[i]):
+            img = image_io.load_image(image_files[i])
+            view.name = os.path.splitext(os.path.basename(image_files[i]))[0]
+        if cam.flen > 0 and img is not None:
+            if fmt == "photosynther":
+                # Photosynther images are already undistorted.
+                view.set_image("undistorted", img)
+            else:
+                # Bundler: undistort with the k2k4 model (makescene.cc
+                # import path undistorts originals).
+                und = image_tools.image_undistort_k2k4(
+                    image_tools.to_float(img), float(cam.flen),
+                    float(cam.dist[0]), float(cam.dist[1]))
+                view.set_image("undistorted", image_tools.to_byte(np.asarray(und)))
+            if import_original:
+                view.set_original_image(img)
+        # Normalize camera: Bundler focal is in pixels.
+        cam = cam.copy()
+        if fmt == "bundler" and img is not None and cam.flen > 10.0:
+            cam.flen = cam.flen / max(img.shape[0], img.shape[1])
+        view.set_camera(cam)
+        view.save_view()
+        scene.add_view(view)
+    scene.set_bundle(bundle)
+    scene.save_bundle()
+    print(f"Imported {fmt} bundle with {n} cameras into {scene_path}")
+    return n
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(
         prog="makescene", description="Create MVE scene from images or SfM exports.")
@@ -99,10 +177,19 @@ def main(argv=None) -> int:
                    help="Import images from INPUT_DIR only")
     p.add_argument("-m", "--max-pixels", type=int, default=0,
                    help="Limit image size by iterative half-sizing")
+    p.add_argument("-b", "--bundle-id", type=int, default=0,
+                   help="Bundle ID (Photosynther and Bundler only)")
+    p.add_argument("-o", "--original", action="store_true",
+                   help="Import original images (bundle workspaces)")
     args = p.parse_args(argv)
 
-    if args.images_only or (os.path.isdir(args.input)
-                            and not os.path.isfile(os.path.join(args.input, "cameras.txt"))):
+    if args.images_only:
+        import_images(args.input, args.scene, args.max_pixels)
+    elif os.path.isdir(os.path.join(args.input, "bundle")):
+        import_bundle_noah_ps(args.input, args.scene, bundle_id=args.bundle_id,
+                              import_original=args.original)
+    elif (os.path.isdir(args.input)
+          and not os.path.isfile(os.path.join(args.input, "cameras.txt"))):
         import_images(args.input, args.scene, args.max_pixels)
     else:
         import_bundle(args.input, args.scene)
