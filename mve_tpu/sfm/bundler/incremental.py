@@ -553,49 +553,6 @@ def _triangulate_nview(poses: List[CameraPose], positions) -> np.ndarray:
     return X[:3] / X[3]
 
 
-def _triangulate_pair_exhaustive(poses: List[CameraPose], positions,
-                                 error_thr: float, cos_angle_thr: float,
-                                 min_num_views: int):
-    """Reference Triangulate::triangulate semantics (triangulate.cc:88-185):
-    try every pose pair, pick the triangulation with fewest outliers."""
-    V = len(poses)
-    best_outliers = list(range(V))
-    best_pos = None
-    Ps = [p.fill_p_matrix() for p in poses]
-    Cs = [p.fill_camera_pos() for p in poses]
-    for a in range(V):
-        for b in range(a + 1, V):
-            X = _triangulate_nview([poses[a], poses[b]], [positions[a], positions[b]])
-            if not np.all(np.isfinite(X)):
-                continue
-            ray0 = X - Cs[a]
-            ray1 = X - Cs[b]
-            n0 = np.linalg.norm(ray0)
-            n1 = np.linalg.norm(ray1)
-            if n0 < 1e-30 or n1 < 1e-30:
-                continue
-            if (ray0 @ ray1) / (n0 * n1) > cos_angle_thr:
-                continue
-            outliers = []
-            for i in range(V):
-                x = poses[i].R @ X + poses[i].t
-                if x[2] <= 0.0:
-                    outliers.append(i)
-                    continue
-                x = poses[i].K @ x
-                x2d = x[:2] / x[2]
-                if np.linalg.norm(positions[i] - x2d) > error_thr:
-                    outliers.append(i)
-            if len(outliers) < len(best_outliers):
-                best_pos = X
-                best_outliers = outliers
-    if best_pos is None or np.linalg.norm(best_pos) == 0.0:
-        return None
-    if V < len(best_outliers) + min_num_views:
-        return None
-    return best_pos, best_outliers
-
-
 def _determine_similarity(p0: np.ndarray, p1: np.ndarray):
     """Horn similarity transform p1 ~= s R p0 + t (math/transform.h
     determine_transform). Returns (R, s, t) or None."""
