@@ -58,6 +58,18 @@ def get_lib():
         ctypes.c_int64, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int8),
         ctypes.c_int32, ctypes.POINTER(ctypes.c_float)]
+    lib.fssr_influence_pairs.restype = ctypes.c_int64
+    lib.fssr_influence_pairs.argtypes = [
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64]
+    lib.fssr_scale_filter.restype = ctypes.c_int64
+    lib.fssr_scale_filter.argtypes = [
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64]
     _LIB = lib
     return _LIB
 
@@ -102,6 +114,45 @@ def collapse_edges(vertices: np.ndarray, edges: np.ndarray):
                                     _ptr(verts, ctypes.c_float),
                                     _ptr(target, ctypes.c_int64))
     return int(count), target, verts
+
+
+def fssr_influence_pairs(voxel_pos: np.ndarray, sample_pos: np.ndarray,
+                         sample_scale: np.ndarray):
+    """Returns (pair_v, pair_s) int64 arrays or None if lib missing."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    vox = np.ascontiguousarray(voxel_pos, np.float64)
+    pos = np.ascontiguousarray(sample_pos, np.float64)
+    scale = np.ascontiguousarray(sample_scale, np.float64)
+    D = ctypes.c_double
+    I = ctypes.c_int64
+    n = lib.fssr_influence_pairs(len(vox), _ptr(vox, D), len(pos),
+                                 _ptr(pos, D), _ptr(scale, D), None, None, 0)
+    out_v = np.empty(n, np.int64)
+    out_s = np.empty(n, np.int64)
+    n2 = lib.fssr_influence_pairs(len(vox), _ptr(vox, D), len(pos),
+                                  _ptr(pos, D), _ptr(scale, D),
+                                  _ptr(out_v, I), _ptr(out_s, I), n)
+    if n2 != n:
+        return None
+    return out_v, out_s
+
+
+def fssr_scale_filter(pair_v: np.ndarray, pair_s: np.ndarray,
+                      sample_scale: np.ndarray, n_voxels: int):
+    """Returns filtered (pair_v, pair_s) or None if lib missing."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    pv = np.ascontiguousarray(pair_v, np.int64).copy()
+    ps = np.ascontiguousarray(pair_s, np.int64).copy()
+    scale = np.ascontiguousarray(sample_scale, np.float64)
+    I = ctypes.c_int64
+    D = ctypes.c_double
+    kept = lib.fssr_scale_filter(len(pv), _ptr(pv, I), _ptr(ps, I),
+                                 _ptr(scale, D), n_voxels)
+    return pv[:kept], ps[:kept]
 
 
 def boundary_confidences(n_verts: int, faces: np.ndarray, vclass: np.ndarray,

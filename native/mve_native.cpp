@@ -19,6 +19,7 @@
 #include <vector>
 #include <unordered_map>
 #include <algorithm>
+#include <cmath>
 
 extern "C" {
 
@@ -227,6 +228,166 @@ void mesh_boundary_confidences(int64_t n_verts, int64_t n_faces,
             confs[v] = 1.0f;
         std::swap(ring, next);
     }
+}
+
+/*
+ * FSSR influence pairing (reference: octree.cc influence_query): emit all
+ * (voxel, sample) pairs with |voxel - sample| < 3 * sample_scale.
+ * Samples are bucketed by scale octave; each bucket builds a hash grid
+ * with cell size equal to the bucket's max influence radius so 27
+ * neighbor cells cover every candidate.
+ *
+ * Two-pass API for caller-allocated outputs:
+ *   pass out=nullptr -> returns required pair count;
+ *   pass buffers     -> fills them, returns count written.
+ */
+static int64_t fssr_pairs_impl(
+    int64_t n_voxels, const double* vox,        /* (V, 3) */
+    int64_t n_samples, const double* pos,       /* (N, 3) */
+    const double* scale,                        /* (N,) */
+    int64_t* out_v, int64_t* out_s, int64_t max_out)
+{
+    /* Bucket samples by scale octave. */
+    std::vector<int> level(n_samples);
+    int lmin = 1 << 30, lmax = -(1 << 30);
+    for (int64_t i = 0; i < n_samples; ++i)
+    {
+        int l = (int)std::floor(std::log2(std::max(scale[i], 1e-30)));
+        level[i] = l;
+        lmin = std::min(lmin, l);
+        lmax = std::max(lmax, l);
+    }
+
+    int64_t count = 0;
+    std::vector<int64_t> bucket;
+    for (int l = lmin; l <= lmax; ++l)
+    {
+        bucket.clear();
+        double max_r = 0.0;
+        for (int64_t i = 0; i < n_samples; ++i)
+            if (level[i] == l)
+            {
+                bucket.push_back(i);
+                max_r = std::max(max_r, 3.0 * scale[i]);
+            }
+        if (bucket.empty())
+            continue;
+        double cell = max_r;
+
+        /* Hash grid of bucket samples. */
+        std::unordered_map<int64_t, std::vector<int64_t>> grid;
+        grid.reserve(bucket.size() * 2);
+        auto key_of = [cell](double x, double y, double z) -> int64_t {
+            int64_t ix = (int64_t)std::floor(x / cell);
+            int64_t iy = (int64_t)std::floor(y / cell);
+            int64_t iz = (int64_t)std::floor(z / cell);
+            /* 21 bits per axis with offset. */
+            return ((ix + 1048576) << 42) | ((iy + 1048576) << 21)
+                 | (iz + 1048576);
+        };
+        for (int64_t i : bucket)
+            grid[key_of(pos[i * 3], pos[i * 3 + 1], pos[i * 3 + 2])].push_back(i);
+
+        for (int64_t v = 0; v < n_voxels; ++v)
+        {
+            double vx = vox[v * 3], vy = vox[v * 3 + 1], vz = vox[v * 3 + 2];
+            int64_t cx = (int64_t)std::floor(vx / cell);
+            int64_t cy = (int64_t)std::floor(vy / cell);
+            int64_t cz = (int64_t)std::floor(vz / cell);
+            for (int dz = -1; dz <= 1; ++dz)
+                for (int dy = -1; dy <= 1; ++dy)
+                    for (int dx = -1; dx <= 1; ++dx)
+                    {
+                        int64_t key = (((cx + dx) + 1048576) << 42)
+                                    | (((cy + dy) + 1048576) << 21)
+                                    | ((cz + dz) + 1048576);
+                        auto it = grid.find(key);
+                        if (it == grid.end())
+                            continue;
+                        for (int64_t s : it->second)
+                        {
+                            double ddx = vx - pos[s * 3];
+                            double ddy = vy - pos[s * 3 + 1];
+                            double ddz = vz - pos[s * 3 + 2];
+                            double r = 3.0 * scale[s];
+                            if (ddx * ddx + ddy * ddy + ddz * ddz < r * r)
+                            {
+                                if (out_v != nullptr)
+                                {
+                                    if (count >= max_out)
+                                        return -1;
+                                    out_v[count] = v;
+                                    out_s[count] = s;
+                                }
+                                count += 1;
+                            }
+                        }
+                    }
+        }
+    }
+    return count;
+}
+
+extern "C" int64_t fssr_influence_pairs(
+    int64_t n_voxels, const double* vox,
+    int64_t n_samples, const double* pos, const double* scale,
+    int64_t* out_v, int64_t* out_s, int64_t max_out)
+{
+    return fssr_pairs_impl(n_voxels, vox, n_samples, pos, scale,
+                           out_v, out_s, max_out);
+}
+
+/*
+ * Per-voxel scale filter (iso_octree.cc:104-112): for each voxel's
+ * influence set, drop pairs whose sample scale exceeds 2x the
+ * 10th-percentile scale. Pairs are given grouped arbitrarily; returns
+ * the kept count with pairs compacted in place.
+ */
+extern "C" int64_t fssr_scale_filter(
+    int64_t n_pairs, int64_t* pair_v, int64_t* pair_s,
+    const double* scale, int64_t n_voxels)
+{
+    /* Group pair indices by voxel via counting sort. */
+    std::vector<int64_t> cnt(n_voxels + 1, 0);
+    for (int64_t i = 0; i < n_pairs; ++i)
+        cnt[pair_v[i] + 1] += 1;
+    for (int64_t v = 0; v < n_voxels; ++v)
+        cnt[v + 1] += cnt[v];
+    std::vector<int64_t> order(n_pairs);
+    {
+        std::vector<int64_t> cursor(cnt.begin(), cnt.end() - 1);
+        for (int64_t i = 0; i < n_pairs; ++i)
+            order[cursor[pair_v[i]]++] = i;
+    }
+
+    std::vector<double> scales;
+    std::vector<int64_t> keep;
+    keep.reserve(n_pairs);
+    for (int64_t v = 0; v < n_voxels; ++v)
+    {
+        int64_t lo = cnt[v], hi = cnt[v + 1];
+        if (lo == hi)
+            continue;
+        scales.clear();
+        for (int64_t k = lo; k < hi; ++k)
+            scales.push_back(scale[pair_s[order[k]]]);
+        int64_t nth = (hi - lo) / 10;
+        std::nth_element(scales.begin(), scales.begin() + nth, scales.end());
+        double thresh = scales[nth] * 2.0;
+        for (int64_t k = lo; k < hi; ++k)
+            if (scale[pair_s[order[k]]] <= thresh)
+                keep.push_back(order[k]);
+    }
+    /* Compact in place (keep holds original indices in voxel order). */
+    std::vector<int64_t> nv(keep.size()), ns(keep.size());
+    for (size_t i = 0; i < keep.size(); ++i)
+    {
+        nv[i] = pair_v[keep[i]];
+        ns[i] = pair_s[keep[i]];
+    }
+    std::memcpy(pair_v, nv.data(), nv.size() * sizeof(int64_t));
+    std::memcpy(pair_s, ns.data(), ns.size() * sizeof(int64_t));
+    return (int64_t)keep.size();
 }
 
 }  /* extern "C" */
