@@ -7,6 +7,7 @@ whose depth embedding already exists unless --force.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from ..core import Scene
@@ -17,7 +18,12 @@ from ..utils.timer import WallTimer
 def reconstruct_views(scene_path: str, *, scale: int = 0, view_ids=None,
                       max_pixels: int = 0, force: bool = False,
                       settings: Settings | None = None,
+                      process_id: int = 0, num_processes: int = 1,
                       verbose: bool = True) -> int:
+    """Per-view MVS; with num_processes > 1, views partition across
+    processes (the distributed analog of the reference's OpenMP view
+    loop, apps/dmrecon/dmrecon.cc:285 — per-view artifacts on shared
+    storage make this restartable and embarrassingly parallel)."""
     scene = Scene(scene_path)
     views = scene.get_views()
     done = 0
@@ -26,6 +32,8 @@ def reconstruct_views(scene_path: str, *, scale: int = 0, view_ids=None,
         if view is None or not view.camera.valid:
             continue
         if view_ids is not None and i not in view_ids:
+            continue
+        if num_processes > 1 and i % num_processes != process_id:
             continue
         s = scale
         if max_pixels > 0 and view.has_image(base.image_embedding):
@@ -65,12 +73,20 @@ def main(argv=None) -> int:
                    help="Comma-separated view IDs to reconstruct [all]")
     p.add_argument("-f", "--force", action="store_true",
                    help="Reconstruct even if depth embedding exists")
+    p.add_argument("--process-id", type=int,
+                   default=int(os.environ.get("JAX_PROCESS_ID", 0)),
+                   help="This process's index for multi-host view sharding")
+    p.add_argument("--num-processes", type=int,
+                   default=int(os.environ.get("JAX_NUM_PROCESSES", 1)),
+                   help="Total processes sharing the view list")
     args = p.parse_args(argv)
     ids = None
     if args.view_ids:
         ids = set(int(x) for x in args.view_ids.split(","))
     n = reconstruct_views(args.scene, scale=args.scale, view_ids=ids,
-                          max_pixels=args.max_pixels, force=args.force)
+                          max_pixels=args.max_pixels, force=args.force,
+                          process_id=args.process_id,
+                          num_processes=args.num_processes)
     print(f"Reconstructed {n} depth maps.")
     return 0
 
