@@ -46,8 +46,10 @@ def run_pipeline(scene_path: str, out_dir: str, verbose: bool = False) -> dict:
 
     t = {}
     t0 = time.perf_counter()
-    sfm_reconstruct(scene_path, verbose=verbose)
+    incremental = sfm_reconstruct(scene_path, verbose=verbose)
     t["sfm_s"] = time.perf_counter() - t0
+    if incremental is not None and incremental.last_ba_status is not None:
+        t["final_ba_mse"] = float(incremental.last_ba_status.final_mse)
 
     t0 = time.perf_counter()
     n_dm = reconstruct_views(

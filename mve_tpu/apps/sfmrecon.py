@@ -135,6 +135,7 @@ def sfm_reconstruct(scene_path: str, *, max_pixels: int = 6_000_000,
         n_valid = sum(1 for c in bundle.cameras if c.flen > 0)
         print(f"SfM done: {n_valid}/{len(views)} cameras, "
               f"{bundle.get_num_features()} tracks.")
+    return incremental
 
 
 def main(argv=None) -> int:

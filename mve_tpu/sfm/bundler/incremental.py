@@ -47,6 +47,7 @@ class Incremental:
         self.tracks: List[Track] = []
         self.survey_points: Optional[List[SurveyPoint]] = None
         self.registered = False
+        self.last_ba_status = None  # BAStatus of the most recent BA
 
     def initialize(self, viewports: List[Viewport], tracks: List[Track],
                    survey_points: Optional[List[SurveyPoint]] = None) -> None:
@@ -376,6 +377,7 @@ class Incremental:
         problem = BAProblem(cameras, points, observations)
         ba = BundleAdjustment(opts)
         ba.optimize(problem)
+        self.last_ba_status = ba.status
         if self.opts.verbose_output:
             ba.print_status()
 
