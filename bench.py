@@ -77,7 +77,8 @@ def run_pipeline(scene_path: str, out_dir: str, verbose: bool = False) -> dict:
 
 def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
-    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
     base = "/tmp/mve_tpu_bench"
     os.makedirs(base, exist_ok=True)

@@ -18,7 +18,7 @@ if "xla_force_host_platform_device_count" not in flags:
 # Persistent compilation cache: this box has 2 vCPUs and XLA compiles of
 # even tiny kernels cost ~0.5s each; caching makes repeat test runs fast.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 import jax
