@@ -76,6 +76,40 @@ def run_pipeline(scene_path: str, out_dir: str, verbose: bool = False) -> dict:
 
 
 def main():
+    """Supervisor: run the measurement in a subprocess with a watchdog.
+
+    The remote-TPU compile service on some runners can wedge a process
+    indefinitely on its first compile after rapid client turnover; a
+    stuck child is killed and retried once on fresh state. Only the
+    child prints the JSON result line.
+    """
+    import subprocess
+
+    if os.environ.get("MVE_TPU_BENCH_CHILD") == "1":
+        return run_measurement()
+
+    env = dict(os.environ, MVE_TPU_BENCH_CHILD="1")
+    timeout_s = int(os.environ.get("MVE_TPU_BENCH_TIMEOUT", "2700"))
+    for attempt in range(2):
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-u", os.path.abspath(__file__)],
+                env=env, timeout=timeout_s, capture_output=True, text=True)
+            out = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+            if out:
+                print(out[-1])
+                return
+            sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-2000:])
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(f"bench attempt {attempt} timed out after "
+                             f"{timeout_s}s; retrying on fresh state\n")
+        time.sleep(90)  # let a wedged device claim expire
+    print(json.dumps({"metric": "full_pipeline_wall_clock", "value": None,
+                      "unit": "s", "vs_baseline": None,
+                      "detail": {"error": "bench child wedged twice"}}))
+
+
+def run_measurement():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
