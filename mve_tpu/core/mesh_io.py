@@ -348,6 +348,31 @@ def save_npts_mesh(mesh: TriangleMesh, path: str, binary: bool = False) -> None:
 
 
 # ---------------------------------------------------------------------------
+# .xf transform files (mesh_io_ply.h:30-114 — a 4x4 row-major transform
+# stored next to range-scan PLYs; applied on load by alignment tools)
+# ---------------------------------------------------------------------------
+
+def load_xf(path: str) -> np.ndarray:
+    vals = np.loadtxt(path, dtype=np.float64)
+    return vals.reshape(4, 4)
+
+
+def save_xf(matrix: np.ndarray, path: str) -> None:
+    np.savetxt(path, np.asarray(matrix, np.float64).reshape(4, 4), fmt="%.9g")
+
+
+def load_ply_with_xf(path: str) -> TriangleMesh:
+    """Load a PLY and apply its sibling .xf transform if present."""
+    mesh = load_ply_mesh(path)
+    xf_path = os.path.splitext(path)[0] + ".xf"
+    if os.path.isfile(xf_path):
+        from .mesh_tools import mesh_transform
+
+        mesh_transform(mesh, load_xf(xf_path))
+    return mesh
+
+
+# ---------------------------------------------------------------------------
 # SMF (mesh_io_smf.cc — "v x y z" / "f a b c", 1-indexed)
 # ---------------------------------------------------------------------------
 
