@@ -60,6 +60,7 @@ def sfm_reconstruct(scene_path: str, *, max_pixels: int = 6_000_000,
         if verbose:
             print("Computing image features...")
         features = Features(FeaturesOptions(max_image_size=max_pixels, verbose=verbose))
+        imgs, idxs = [], []
         for i, view in enumerate(views):
             if view is None:
                 continue
@@ -67,8 +68,11 @@ def sfm_reconstruct(scene_path: str, *, max_pixels: int = 6_000_000,
             img = view.get_image(name)
             if img is None:
                 continue
-            features.compute_viewport(img, viewports[i])
-            view.cache_cleanup()
+            imgs.append(img)
+            idxs.append(i)
+        features.compute_batched(imgs, [viewports[i] for i in idxs])
+        for i in idxs:
+            views[i].cache_cleanup()
         if verbose:
             print(f"Computed features in {timer.get_elapsed()}ms.")
 

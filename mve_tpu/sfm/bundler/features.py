@@ -79,3 +79,44 @@ class Features:
             self.compute_viewport(img, vp)
             if self.opts.verbose:
                 print(f"View {i}: {len(vp.positions)} features")
+
+    def compute_batched(self, images: List[np.ndarray],
+                        viewports: List[Viewport]) -> None:
+        """Batched SIFT across same-shape views (3 dispatches per octave
+        for the WHOLE batch); falls back per-view for mixed shapes or
+        when SURF is enabled."""
+        if self.opts.use_surf:
+            return self.compute(images, viewports)
+        # Apply the same max-pixels policy first.
+        import jax.numpy as jnp
+
+        prepped = []
+        for img in images:
+            while img.shape[0] * img.shape[1] > self.opts.max_image_size:
+                imgf = image_tools.to_float(img)
+                img2 = np.asarray(image_tools.rescale_half_size(jnp.asarray(imgf)))
+                img = (image_tools.to_byte(img2) if img.dtype == np.uint8 else img2)
+            prepped.append(img)
+        from ..sift import detect_and_describe_batch
+
+        results = detect_and_describe_batch(prepped, self.opts.sift_options)
+        for i, (img, vp, result) in enumerate(zip(prepped, viewports, results)):
+            h, w = img.shape[:2]
+            vp.width, vp.height = w, h
+            xy = np.stack([result.x, result.y], axis=1)
+            vp.positions = normalize_feature_positions(xy, w, h)
+            vp.descriptors = result.descriptors
+            vp.num_sift = len(result.x)
+            vp.track_ids = np.full(len(result.x), -1, np.int32)
+            xi = np.clip(np.round(result.x).astype(int), 0, w - 1)
+            yi = np.clip(np.round(result.y).astype(int), 0, h - 1)
+            if img.ndim == 3 and img.shape[2] >= 3:
+                colors = img[yi, xi, :3]
+            else:
+                gray = img[yi, xi] if img.ndim == 2 else img[yi, xi, 0]
+                colors = np.stack([gray] * 3, axis=1)
+            if colors.dtype != np.uint8:
+                colors = np.clip(colors * 255.0 + 0.5, 0, 255).astype(np.uint8)
+            vp.colors = colors
+            if self.opts.verbose:
+                print(f"View {i}: {len(vp.positions)} features")

@@ -507,10 +507,7 @@ def _octave_orientations(gauss, x, y, samp, valid, num_samples: int,
     return grad, orient, oris, ori_valid
 
 
-def detect_and_describe(image, options: SiftOptions = SiftOptions()) -> SiftResult:
-    """Run SIFT on one grayscale image; returns descriptors in input-pixel
-    coordinates (equivalent of Sift::process + get_descriptors,
-    sift.cc:42-168)."""
+def _to_gray_f32(image) -> np.ndarray:
     img = np.asarray(image)
     if img.ndim == 3:
         if img.shape[2] == 3:
@@ -519,7 +516,138 @@ def detect_and_describe(image, options: SiftOptions = SiftOptions()) -> SiftResu
             img = image_tools.to_float(img)[:, :, 0]
     else:
         img = image_tools.to_float(img)
-    img = img.astype(np.float32)
+    return img.astype(np.float32)
+
+
+def detect_and_describe_batch(images, options: SiftOptions = SiftOptions()):
+    """SIFT over a batch of SAME-SHAPE images with vmapped octave stages:
+    3 dispatches per octave for the whole batch instead of per image.
+
+    Returns a list of SiftResult (one per image).
+    """
+    grays = [_to_gray_f32(im) for im in images]
+    if len(set(g.shape for g in grays)) != 1:
+        return [detect_and_describe(g, options) for g in grays]
+    opts = options
+    S = opts.num_samples_per_octave
+    B = len(grays)
+    batch = jnp.asarray(np.stack(grays))
+
+    results = [dict(x=[], y=[], scale=[], ori=[], desc=[]) for _ in range(B)]
+
+    img_sigma = opts.inherent_blur_sigma
+    base = batch
+    o = max(0, opts.min_octave)
+    # Note: min_octave=-1 (upsampled) falls back to the per-image path.
+    if opts.min_octave < 0:
+        return [detect_and_describe(g, options) for g in grays]
+    for _ in range(opts.min_octave):
+        base = jax.vmap(lambda im: image_tools.rescale_half_size_gaussian(im[:, :, None])[:, :, 0])(base)
+
+    while o <= opts.max_octave and base.shape[1] >= 16 and base.shape[2] >= 16:
+        H, W = base.shape[1], base.shape[2]
+        cap = min(opts.max_keypoints_per_octave, max(256, S * H * W // 64))
+        cap = _pad_to_bucket(cap, opts.max_keypoints_per_octave)
+        det = jax.vmap(lambda im: _octave_detect(
+            im, S, opts.base_blur_sigma, float(img_sigma), cap,
+            opts.eff_contrast_threshold, opts.edge_ratio_threshold))
+        gauss, x, y, s, keep = det(base)
+        keep_np = np.asarray(keep)  # (B, cap)
+        x_np = np.asarray(x)
+        y_np = np.asarray(y)
+        s_np = np.asarray(s)
+
+        # Common padded keypoint count across the batch.
+        counts = keep_np.sum(axis=1)
+        n2 = int(counts.max())
+        if n2 > 0:
+            npad2 = _pad_to_bucket(n2, opts.max_keypoints_per_octave)
+            kx = np.full((B, npad2), 64.0, np.float32)
+            ky = np.full((B, npad2), 64.0, np.float32)
+            ks = np.zeros((B, npad2), np.float32)
+            kvalid = np.zeros((B, npad2), bool)
+            for b in range(B):
+                sel = keep_np[b]
+                m = int(counts[b])
+                kx[b, :m] = x_np[b][sel]
+                ky[b, :m] = y_np[b][sel]
+                ks[b, :m] = s_np[b][sel]
+                kvalid[b, :m] = True
+            orient_b = jax.vmap(lambda g, xx, yy, ss, vv: _octave_orientations(
+                g, xx, yy, ss, vv, S, opts.base_blur_sigma,
+                opts.max_orientations_per_keypoint))
+            grad, orient, oris, ori_valid = orient_b(
+                gauss, jnp.asarray(kx), jnp.asarray(ky), jnp.asarray(ks),
+                jnp.asarray(kvalid))
+            ov_np = np.asarray(ori_valid)
+            oris_np = np.asarray(oris)
+
+            # Descriptor slots, again padded to a common count.
+            slots = [np.nonzero(ov_np[b]) for b in range(B)]
+            n3 = max(len(sl[0]) for sl in slots)
+            if n3 > 0:
+                npad3 = _pad_to_bucket(
+                    n3, opts.max_keypoints_per_octave * opts.max_orientations_per_keypoint)
+                npad3 = max(npad3, 256)
+                ddx = np.full((B, npad3), 64.0, np.float32)
+                ddy = np.full((B, npad3), 64.0, np.float32)
+                dds = np.zeros((B, npad3), np.float32)
+                ddo = np.zeros((B, npad3), np.float32)
+                dvalid = np.zeros((B, npad3), bool)
+                for b in range(B):
+                    kp_rep, ori_k = slots[b]
+                    m = len(kp_rep)
+                    ddx[b, :m] = kx[b][kp_rep]
+                    ddy[b, :m] = ky[b][kp_rep]
+                    dds[b, :m] = ks[b][kp_rep]
+                    ddo[b, :m] = oris_np[b][kp_rep, ori_k]
+                    dvalid[b, :m] = True
+                desc_b = jax.vmap(lambda g, orn, xx, yy, ss, oo, vv:
+                                  _compute_descriptors(g, orn, xx, yy, ss, oo, vv,
+                                                       S, opts.base_blur_sigma))
+                desc, ok = desc_b(grad, orient, jnp.asarray(ddx), jnp.asarray(ddy),
+                                  jnp.asarray(dds), jnp.asarray(ddo), jnp.asarray(dvalid))
+                ok_np = np.asarray(ok)
+                desc_np = np.asarray(desc)
+                scale_factor = 2.0 ** o
+                for b in range(B):
+                    sel = ok_np[b]
+                    if not sel.any():
+                        continue
+                    results[b]["x"].append(scale_factor * (ddx[b][sel] + 0.5) - 0.5)
+                    results[b]["y"].append(scale_factor * (ddy[b][sel] + 0.5) - 0.5)
+                    results[b]["scale"].append(
+                        opts.base_blur_sigma * 2.0 ** (o + (dds[b][sel] + 1.0) / S))
+                    results[b]["ori"].append(ddo[b][sel])
+                    results[b]["desc"].append(desc_np[b][sel])
+
+        base = jax.vmap(lambda im: image_tools.rescale_half_size_gaussian(
+            im[:, :, None])[:, :, 0])(base)
+        img_sigma = opts.base_blur_sigma
+        o += 1
+
+    out = []
+    for r in results:
+        if r["x"]:
+            out.append(SiftResult(
+                np.concatenate(r["x"]).astype(np.float32),
+                np.concatenate(r["y"]).astype(np.float32),
+                np.concatenate(r["scale"]).astype(np.float32),
+                np.concatenate(r["ori"]).astype(np.float32),
+                np.concatenate(r["desc"]).astype(np.float32)))
+        else:
+            out.append(SiftResult(
+                np.zeros(0, np.float32), np.zeros(0, np.float32),
+                np.zeros(0, np.float32), np.zeros(0, np.float32),
+                np.zeros((0, 128), np.float32)))
+    return out
+
+
+def detect_and_describe(image, options: SiftOptions = SiftOptions()) -> SiftResult:
+    """Run SIFT on one grayscale image; returns descriptors in input-pixel
+    coordinates (equivalent of Sift::process + get_descriptors,
+    sift.cc:42-168)."""
+    img = _to_gray_f32(image)
 
     opts = options
     S = opts.num_samples_per_octave
