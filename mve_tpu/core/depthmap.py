@@ -223,6 +223,74 @@ def depthmap_triangulate(depth_map: np.ndarray, invproj: np.ndarray,
     return mesh, pix_index
 
 
+def rangegrid_triangulate(grid: np.ndarray, mesh: TriangleMesh,
+                          angle_threshold_deg: float = 15.0) -> None:
+    """Triangulate a range grid of vertex ids into `mesh`
+    (depthmap.cc:420-495 rangegrid_triangulate).
+
+    grid: (H, W) int; -1 marks missing vertices; other entries index
+    mesh.vertices. Appends faces in place, dropping triangles whose
+    minimal interior angle falls below the threshold (the reference's
+    dm_is_depth_disc test).
+    """
+    g = np.asarray(grid, np.int64)
+    H, W = g.shape
+    verts = mesh.vertices
+    v0 = g[:-1, :-1]
+    v1 = g[:-1, 1:]
+    v2 = g[1:, :-1]
+    v3 = g[1:, 1:]
+    valid = np.stack([v0 >= 0, v1 >= 0, v2 >= 0, v3 >= 0])
+    nvalid = valid.sum(axis=0)
+    mask = (valid[0].astype(np.int8) | (valid[1].astype(np.int8) << 1)
+            | (valid[2].astype(np.int8) << 2) | (valid[3].astype(np.int8) << 3))
+
+    def min_angle_ok(a, b, c):
+        pa, pb, pc = verts[a], verts[b], verts[c]
+        def ang(p, q, r):
+            e1 = q - p
+            e2 = r - p
+            cosv = np.sum(e1 * e2, axis=-1) / np.maximum(
+                np.linalg.norm(e1, axis=-1) * np.linalg.norm(e2, axis=-1), 1e-30)
+            return np.arccos(np.clip(cosv, -1, 1))
+        m = np.minimum(np.minimum(ang(pa, pb, pc), ang(pb, pc, pa)), ang(pc, pa, pb))
+        return m >= np.deg2rad(angle_threshold_deg)
+
+    tris_def = [(v0, v2, v1), (v0, v3, v1), (v0, v2, v3), (v1, v2, v3)]
+    use = [np.zeros_like(v0, bool) for _ in range(4)]
+    use[0] = mask == 7
+    use[1] = mask == 11
+    use[2] = mask == 13
+    use[3] = mask == 14
+    full = mask == 15
+    d1 = np.full(v0.shape, np.inf)
+    d2 = np.full(v0.shape, np.inf)
+    both = full
+    if both.any():
+        d1[both] = np.sum((verts[v0[both]] - verts[v3[both]]) ** 2, axis=-1)
+        d2[both] = np.sum((verts[v1[both]] - verts[v2[both]]) ** 2, axis=-1)
+    split_a = full & (d1 < d2)
+    use[1] = use[1] | split_a
+    use[2] = use[2] | split_a
+    use[0] = use[0] | (full & ~split_a)
+    use[3] = use[3] | (full & ~split_a)
+
+    faces = [mesh.faces] if mesh.num_faces() else []
+    # Reference winding ADDTRI(a,c,b): emit (a, b_swapped, c_swapped).
+    order = [(0, 2, 1), (0, 3, 1), (0, 2, 3), (1, 2, 3)]
+    grids = [v0, v1, v2, v3]
+    for ti, (a, b, c) in enumerate(order):
+        sel = use[ti]
+        if not sel.any():
+            continue
+        fa = grids[a][sel]
+        fb = grids[b][sel]
+        fc = grids[c][sel]
+        ok = min_angle_ok(fa, fb, fc)
+        faces.append(np.stack([fa[ok], fc[ok], fb[ok]], axis=1).astype(np.int32))
+    mesh.faces = np.concatenate(faces) if faces else np.zeros((0, 3), np.int32)
+
+
 # ---------------------------------------------------------------------------
 # boundary confidences / peeling (depthmap.cc:495-600)
 # ---------------------------------------------------------------------------
