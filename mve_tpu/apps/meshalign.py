@@ -1,12 +1,23 @@
 """meshalign: merge range-scan alignments into one mesh
-(reference: apps/meshalign/meshalign.cc, stanford_alignment.h).
+(reference: apps/meshalign/meshalign.cc, stanford_alignment.h,
+meshlab_alignment.h).
 
 Supports Stanford .conf alignment files:
     camera T1 T2 T3 Q1 Q2 Q3 Q4
     bmesh FILE_NAME T1 T2 T3 Q1 Q2 Q3 Q4
 Each bmesh entry is a scan transformed by translation T and quaternion Q
-(x, y, z, w order as in the Stanford repositories). Plain mesh arguments
-are merged untransformed.
+(x, y, z, w order as in the Stanford repositories).
+
+Supports Meshlab .aln alignment files (meshlab_alignment.h:18-31):
+    NUM_MESHES
+    MESH_FILE_NAME
+    R1 R2 R3 T1
+    R4 R5 R6 T2
+    R7 R8 R9 T3
+    0  0  0  1
+with '#' comments and blank lines ignored. Each vertex maps to R*v + T.
+
+Plain mesh arguments are merged untransformed.
 """
 
 from __future__ import annotations
@@ -43,10 +54,48 @@ def read_stanford_alignment(conf_path: str):
     return entries
 
 
+def read_meshlab_alignment(aln_path: str):
+    """Returns a list of (mesh_path, 4x4 transform) from a Meshlab .aln file
+    (reference: apps/meshalign/meshlab_alignment.cc:43-97)."""
+    base = os.path.dirname(aln_path)
+    with open(aln_path) as f:
+        lines = [ln.strip() for ln in f]
+    lines = [ln for ln in lines if ln and not ln.startswith("#")]
+    if not lines:
+        raise IOError(f"{aln_path}: empty alignment file")
+    num = int(lines[0].split()[0])
+    entries = []
+    pos = 1
+    for _ in range(num):
+        if pos + 4 > len(lines):
+            raise IOError(f"{aln_path}: truncated alignment file")
+        name = lines[pos]
+        M = np.eye(4)
+        for r in range(3):
+            vals = [float(x) for x in lines[pos + 1 + r].split()[:4]]
+            M[r, :] = vals
+        # 4th matrix row ("0 0 0 1") is present but ignored, as in the
+        # reference reader.
+        pos += 5
+        entries.append((os.path.join(base, name), M))
+    return entries
+
+
 def mesh_align(inputs, output_path: str | None = None, verbose: bool = True):
     meshes = []
     for path in inputs:
-        if path.endswith(".conf"):
+        if path.endswith(".aln"):
+            for mesh_path, M in read_meshlab_alignment(path):
+                if not os.path.isfile(mesh_path):
+                    if verbose:
+                        print(f"Missing scan {mesh_path}, skipping.")
+                    continue
+                mesh = mesh_io.load_mesh(mesh_path)
+                mesh_transform(mesh, M)
+                meshes.append(mesh)
+                if verbose:
+                    print(f"{mesh_path}: {mesh.num_vertices()} vertices.")
+        elif path.endswith(".conf"):
             for mesh_path, M in read_stanford_alignment(path):
                 if not os.path.isfile(mesh_path):
                     # Stanford archives often gzip scans; try .ply fallback.
