@@ -136,7 +136,7 @@ def marching_tets(volume: Volume, iso: float = 0.0) -> TriangleMesh:
     return mesh
 
 
-# The reference exposes marching cubes with the same accessor contract;
-# on a dense uniform volume the tet decomposition is the crack-free
-# equivalent used here.
-marching_cubes = marching_tets
+# Table-driven marching cubes (derived tables, vectorized extraction) lives
+# in marching_cubes.py; re-exported here to mirror the reference's
+# mve::geom namespace grouping.
+from .marching_cubes import marching_cubes, marching_cubes_accessor  # noqa: E402,F401
