@@ -176,11 +176,18 @@ class DMRecon:
         dmax = float(seed_depth[seed_mask].max()) * 1.4
         init_depth = _fill_sparse(seed_depth, seed_mask).astype(np.float32)
 
+        # --- world rays + camera centers for per-pixel view selection
+        ray_world = (dirs / ray_norm[..., None]) @ ref_cam.rot  # R^T @ unit
+        ref_pos = ref_cam.camera_pos()
+        cam_pos = np.stack([views[v].camera.camera_pos() for v in selected])
+
         # --- batched optimization
         depth, score, kth = self._optimize(
             jnp.asarray(ref_level, jnp.float32), jnp.asarray(neigh, jnp.float32),
             jnp.asarray(np.stack(Ts), jnp.float32), jnp.asarray(np.stack(ts), jnp.float32),
-            jnp.asarray(ray_z), jnp.asarray(init_depth), dmin, dmax)
+            jnp.asarray(ray_z), jnp.asarray(init_depth), dmin, dmax,
+            jnp.asarray(ray_world, jnp.float32), jnp.asarray(ref_pos, jnp.float32),
+            jnp.asarray(cam_pos, jnp.float32))
         depth = np.asarray(depth)
         score = np.asarray(score)
         kth = np.asarray(kth)
@@ -212,23 +219,49 @@ class DMRecon:
                   f"({len(selected)} neighbors)")
 
     # ------------------------------------------------------------------
-    def _optimize(self, ref, neigh, T, tvec, ray_z, init_depth, dmin, dmax):
+    def _optimize(self, ref, neigh, T, tvec, ray_z, init_depth, dmin, dmax,
+                  ray_world=None, ref_pos=None, cam_pos=None):
         """Plane sweep + propagation + parabolic refinement.
 
         Each round evaluates its whole candidate stack in ONE device
         dispatch (ncc_score_multi) — candidate counts are static so the
-        number of compiled programs stays small.
+        number of compiled programs stays small. With local_vs, per-pixel
+        diverse view selection (local_view_selection.cc) runs after the
+        sweep and again mid-propagation; subsequent rounds score only the
+        4 selected views, cutting inner-loop work by J/4.
         """
-        from .patch import ncc_score_box, ncc_score_multi
+        from .patch import (ncc_per_view_box, ncc_score_box,
+                            ncc_score_box_sel, ncc_score_multi)
+        from .view_selection import local_view_selection
 
         s = self.settings
-        score_fn = ncc_score_multi if s.exact_ncc else ncc_score_box
         fw = s.filter_width
         k = s.nr_recon_neighbors
+        J = neigh.shape[0]
+        use_local = (s.local_vs and not s.exact_ncc and ray_world is not None
+                     and J > k)
+        sel_state = {}
+
+        def reselect(best_d):
+            ncc = ncc_per_view_box(ref, neigh, T, tvec, ray_z, best_d,
+                                   filter_width=fw)
+            sel, valid = local_view_selection(
+                ncc, best_d, ray_world, ref_pos, cam_pos, k=k,
+                min_ncc=s.min_ncc, min_parallax=s.min_parallax)
+            sel_state["sel"] = sel
+            sel_state["valid"] = valid
+
+        def score_fn(depths):
+            if sel_state:
+                return ncc_score_box_sel(ref, neigh, T, tvec, ray_z, depths,
+                                         sel_state["sel"], sel_state["valid"],
+                                         filter_width=fw)
+            fn = ncc_score_multi if s.exact_ncc else ncc_score_box
+            return fn(ref, neigh, T, tvec, ray_z, depths,
+                      filter_width=fw, top_k=k)
 
         def best_of(best_d, best_s, best_k, cands):
-            cs, ck = score_fn(ref, neigh, T, tvec, ray_z,
-                              jnp.stack(cands), filter_width=fw, top_k=k)
+            cs, ck = score_fn(jnp.stack(cands))
             all_s = jnp.concatenate([best_s[None], cs])
             all_k = jnp.concatenate([best_k[None], ck])
             all_d = jnp.concatenate([best_d[None], jnp.stack(cands)])
@@ -239,8 +272,7 @@ class DMRecon:
             return d, sc, kk
 
         best_d = init_depth
-        s0, k0 = score_fn(ref, neigh, T, tvec, ray_z, best_d[None],
-                          filter_width=fw, top_k=k)
+        s0, k0 = score_fn(best_d[None])
         best_s, best_k = s0[0], k0[0]
 
         # Global sweep: geometric fan around the initialization plus
@@ -252,10 +284,24 @@ class DMRecon:
         cands += [jnp.full_like(best_d, float(dv)) for dv in absd]
         best_d, best_s, best_k = best_of(best_d, best_s, best_k, cands)
 
+        def switch_selection(best_d):
+            # (Re)select views per pixel, then rescore the incumbent under
+            # the new selection so later comparisons stay consistent.
+            reselect(best_d)
+            s1, k1 = score_fn(best_d[None])
+            return s1[0], k1[0]
+
+        if use_local:
+            best_s, best_k = switch_selection(best_d)
+
         # PatchMatch-style propagation: all shifts + perturbations of a
         # round in one dispatch.
         shifts = ((0, 1), (0, -1), (1, 0), (-1, 0), (0, 3), (3, 0), (0, -3), (-3, 0))
         for it in range(s.num_propagation_iters):
+            if use_local and it == s.num_propagation_iters // 2:
+                # Mid-run refresh: depths have moved; failing views get
+                # replaced (local_view_selection.cc replaceViews).
+                best_s, best_k = switch_selection(best_d)
             eps = 0.05 * (0.5 ** it)
             cands = [jnp.roll(best_d, (dy, dx), axis=(0, 1)) for dy, dx in shifts]
             cands += [best_d * (1.0 - eps), best_d * (1.0 + eps)]
@@ -268,9 +314,7 @@ class DMRecon:
             eps = 0.02 * (0.5 ** step)
             d_lo = best_d * (1.0 - eps)
             d_hi = best_d * (1.0 + eps)
-            both, _ = score_fn(ref, neigh, T, tvec, ray_z,
-                               jnp.stack([d_lo, d_hi]),
-                               filter_width=fw, top_k=k)
+            both, _ = score_fn(jnp.stack([d_lo, d_hi]))
             s_lo, s_hi = both[0], both[1]
             denom = s_lo - 2.0 * best_s + s_hi
             offset = jnp.where(

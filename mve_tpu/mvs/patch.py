@@ -239,3 +239,132 @@ def ncc_score(ref_img, neigh_imgs, T, tvec, ray_z, depth,
     score = jnp.where(n_valid >= k, score, -1.0)
     kth = jnp.where(n_valid >= k, kth, -1.0)
     return score, kth
+
+
+def _warp_bilinear(neigh_imgs, T, tvec, z, qx, qy):
+    """Warp reference pixels into neighbor views and gather bilinearly.
+
+    T: (..., 3, 3), tvec: (..., 3) broadcastable against z's leading axes;
+    z, qx, qy broadcast to the output shape. Returns (values, in_bounds).
+    """
+    J, Hn, Wn = neigh_imgs.shape if neigh_imgs.ndim == 3 else (
+        None, neigh_imgs.shape[-2], neigh_imgs.shape[-1])
+    hx = (T[..., 0, 0] * qx + T[..., 0, 1] * qy + T[..., 0, 2]) * z + tvec[..., 0]
+    hy = (T[..., 1, 0] * qx + T[..., 1, 1] * qy + T[..., 1, 2]) * z + tvec[..., 1]
+    hz = (T[..., 2, 0] * qx + T[..., 2, 1] * qy + T[..., 2, 2]) * z + tvec[..., 2]
+    hz_safe = jnp.where(jnp.abs(hz) < 1e-20, 1e-20, hz)
+    u = hx / hz_safe - 0.5
+    v = hy / hz_safe - 0.5
+    inb = (u >= 0) & (u <= Wn - 1) & (v >= 0) & (v <= Hn - 1) & (hz > 0)
+    u0 = jnp.clip(jnp.floor(u), 0, Wn - 2)
+    v0 = jnp.clip(jnp.floor(v), 0, Hn - 2)
+    fu = jnp.clip(u - u0, 0.0, 1.0)
+    fv = jnp.clip(v - v0, 0.0, 1.0)
+    return u0.astype(jnp.int32), v0.astype(jnp.int32), fu, fv, inb
+
+
+@functools.partial(jax.jit, static_argnames=("filter_width",))
+def ncc_per_view_box(ref_img, neigh_imgs, T, tvec, ray_z, depth,
+                     filter_width: int = 5):
+    """Box-filter NCC of EVERY neighbor at one depth map: (J, H, W).
+
+    Feeds local view selection (the reference's sampler->getFastNCC per
+    candidate view, local_view_selection.cc:77)."""
+    H, W = ref_img.shape
+    J, Hn, Wn = neigh_imgs.shape
+    fw = filter_width
+    n_taps = fw * fw
+    ys, xs = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                          jnp.arange(W, dtype=jnp.float32), indexing="ij")
+    z = depth * ray_z
+    u0i, v0i, fu, fv, inb = _warp_bilinear(
+        neigh_imgs, T[:, None, None], tvec[:, None, None],
+        z[None], xs + 0.5, ys + 0.5)
+    jidx = jnp.arange(J)[:, None, None]
+    p00 = neigh_imgs[jidx, v0i, u0i]
+    p01 = neigh_imgs[jidx, v0i, u0i + 1]
+    p10 = neigh_imgs[jidx, v0i + 1, u0i]
+    p11 = neigh_imgs[jidx, v0i + 1, u0i + 1]
+    nv = (p00 * (1 - fu) * (1 - fv) + p01 * fu * (1 - fv)
+          + p10 * (1 - fu) * fv + p11 * fu * fv)
+    nv = jnp.where(inb, nv, 0.0)
+
+    sum_r = _box_sum(ref_img, fw)
+    sum_rr = _box_sum(ref_img * ref_img, fw)
+    mean_r = sum_r / n_taps
+    var_r = sum_rr / n_taps - mean_r * mean_r
+    cnt = _box_sum(inb.astype(jnp.float32), fw)
+    full = cnt >= n_taps - 0.5
+    sum_n = _box_sum(nv, fw)
+    sum_nn = _box_sum(nv * nv, fw)
+    sum_rn = _box_sum(nv * ref_img[None], fw)
+    mean_n = sum_n / n_taps
+    var_n = sum_nn / n_taps - mean_n * mean_n
+    cov = sum_rn / n_taps - mean_r[None] * mean_n
+    denom = jnp.sqrt(jnp.maximum(var_r[None] * var_n, 1e-12))
+    return jnp.where(full, cov / denom, -1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("filter_width",))
+def ncc_score_box_sel(ref_img, neigh_imgs, T, tvec, ray_z, depths,
+                      sel, sel_valid, filter_width: int = 5):
+    """Box-filter NCC over per-pixel SELECTED views only.
+
+    sel: (S, H, W) int32 neighbor indices from local_view_selection;
+    sel_valid: (S, H, W) bool. depths: (K, H, W) candidate ray lengths.
+    Returns (score (K, H, W) = mean NCC over valid selected views,
+    kth (K, H, W) = worst selected NCC). Scoring S=4 selected views costs
+    S/J of the all-views kernel — local view selection doubles as the
+    inner loop's work reducer (the reference optimizes only against its
+    4 selected views too, patch_optimization.cc).
+
+    Approximation note: the box window around a pixel aggregates warped
+    values of *each window pixel's own* i-th selected view; exact when the
+    selection is locally constant, which holds away from selection
+    boundaries (same regime as ncc_score_box's locally-constant depth).
+    """
+    K = depths.shape[0]
+    H, W = ref_img.shape
+    S = sel.shape[0]
+    fw = filter_width
+    n_taps = fw * fw
+    ys, xs = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                          jnp.arange(W, dtype=jnp.float32), indexing="ij")
+    z = depths * ray_z[None]                           # (K, H, W)
+
+    Tg = T[sel]                                        # (S, H, W, 3, 3)
+    tg = tvec[sel]                                     # (S, H, W, 3)
+    u0i, v0i, fu, fv, inb = _warp_bilinear(
+        neigh_imgs, Tg[:, None], tg[:, None], z[None],
+        xs + 0.5, ys + 0.5)                            # all (S, K, H, W)
+    jidx = sel[:, None]                                # (S, 1, H, W)
+    p00 = neigh_imgs[jidx, v0i, u0i]
+    p01 = neigh_imgs[jidx, v0i, u0i + 1]
+    p10 = neigh_imgs[jidx, v0i + 1, u0i]
+    p11 = neigh_imgs[jidx, v0i + 1, u0i + 1]
+    nv = (p00 * (1 - fu) * (1 - fv) + p01 * fu * (1 - fv)
+          + p10 * (1 - fu) * fv + p11 * fu * fv)
+    nv = jnp.where(inb, nv, 0.0)
+
+    sum_r = _box_sum(ref_img, fw)
+    sum_rr = _box_sum(ref_img * ref_img, fw)
+    mean_r = sum_r / n_taps
+    var_r = sum_rr / n_taps - mean_r * mean_r
+    cnt = _box_sum(inb.astype(jnp.float32), fw)
+    full = cnt >= n_taps - 0.5
+    sum_n = _box_sum(nv, fw)
+    sum_nn = _box_sum(nv * nv, fw)
+    sum_rn = _box_sum(nv * ref_img[None, None], fw)
+    mean_n = sum_n / n_taps
+    var_n = sum_nn / n_taps - mean_n * mean_n
+    cov = sum_rn / n_taps - mean_r[None, None] * mean_n
+    denom = jnp.sqrt(jnp.maximum(var_r[None, None] * var_n, 1e-12))
+    ncc = jnp.where(full & sel_valid[:, None], cov / denom, -1.0)  # (S,K,H,W)
+
+    ok = sel_valid[:, None] & full                     # (S, K, H, W)
+    n_ok = jnp.sum(ok, axis=0)
+    score = jnp.sum(jnp.where(ok, ncc, 0.0), axis=0) / jnp.maximum(n_ok, 1)
+    kth = jnp.min(jnp.where(ok, ncc, 1.0), axis=0)
+    score = jnp.where(n_ok >= S, score, -1.0)
+    kth = jnp.where(n_ok >= S, kth, -1.0)
+    return score, kth

@@ -35,3 +35,6 @@ class Settings:
     num_propagation_iters: int = 8
     num_refine_steps: int = 3
     exact_ncc: bool = False        # True = per-tap warped patches (slower)
+    local_vs: bool = True          # per-pixel diverse view selection
+                                   # (local_view_selection.cc performVS);
+                                   # False = plain per-pixel top-k NCC

@@ -96,3 +96,68 @@ def global_view_selection(
             w = np.where(plx < min_parallax, (plx / 10.0) ** 2, 1.0)
             diversity[i, sub] *= w
     return selected
+
+
+# ---------------------------------------------------------------------------
+# per-pixel local view selection (reference: local_view_selection.cc
+# performVS) — batched over every pixel at once: a greedy k-step loop where
+# each step argmaxes the weight map, then multiplies in pairwise parallax
+# and epipolar-plane-diversity factors against the just-selected view.
+# ---------------------------------------------------------------------------
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _parallax_weight(cos_ang):
+    """parallaxToWeight (mvs_tools.h:56-69): Gaussian peaked at 20 deg,
+    sigma 5 below / 15 above."""
+    plx = jnp.degrees(jnp.arccos(jnp.clip(cos_ang, -1.0, 1.0)))
+    sigma = jnp.where(plx <= 20.0, 5.0, 15.0)
+    return jnp.exp(-((plx - 20.0) ** 2) / (2.0 * sigma * sigma))
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def local_view_selection(ncc, depth, ray_world, ref_pos, cam_pos,
+                         k: int = 4, min_ncc: float = 0.3,
+                         min_parallax: float = 10.0):
+    """Select k diverse views per pixel.
+
+    ncc: (J, H, W) photoconsistency of each global neighbor at the current
+      depth; depth: (H, W) ray lengths; ray_world: (H, W, 3) unit viewing
+      rays in world coords; ref_pos: (3,) reference camera center;
+      cam_pos: (J, 3) neighbor camera centers.
+    Returns (sel (k, H, W) int32 view indices, valid (k, H, W) bool).
+    Score = NCC x parallax-to-ref weight x prod over already-selected
+    views of [pairwise parallax weight x epipolar-plane angle factor]
+    (local_view_selection.cc:96-133).
+    """
+    p = ref_pos + ray_world * depth[..., None]          # (H, W, 3)
+    ref_dir = ray_world                                  # unit, p - ref_pos
+    vd = p[None] - cam_pos[:, None, None, :]             # (J, H, W, 3)
+    vd = vd / jnp.maximum(jnp.linalg.norm(vd, axis=-1, keepdims=True), 1e-12)
+    ep = jnp.cross(vd, ref_dir[None])                    # epipolar normals
+    ep = ep / jnp.maximum(jnp.linalg.norm(ep, axis=-1, keepdims=True), 1e-12)
+
+    w = ncc * _parallax_weight(jnp.sum(vd * ref_dir[None], -1))
+    w = jnp.where(ncc < min_ncc, 0.0, w)
+    sels, valids = [], []
+    J = ncc.shape[0]
+    for _ in range(k):
+        idx = jnp.argmax(w, axis=0)                      # (H, W)
+        best = jnp.take_along_axis(w, idx[None], axis=0)[0]
+        sels.append(idx.astype(jnp.int32))
+        valids.append(best > 0.0)
+        d_sel = jnp.take_along_axis(vd, idx[None, ..., None], axis=0)[0]
+        e_sel = jnp.take_along_axis(ep, idx[None, ..., None], axis=0)[0]
+        w = jnp.where(jnp.arange(J)[:, None, None] == idx[None], 0.0, w)
+        w = w * _parallax_weight(jnp.sum(vd * d_sel[None], -1))
+        # Epipolar-plane angle folded into [0, 90]; linear penalty below
+        # min_parallax degrees (floor 1 deg).
+        dp = jnp.abs(jnp.sum(ep * e_sel[None], -1))
+        ang = jnp.degrees(jnp.arccos(jnp.clip(dp, -1.0, 1.0)))
+        ang = jnp.maximum(ang, 1.0)
+        w = w * jnp.where(ang < min_parallax, ang / min_parallax, 1.0)
+    return jnp.stack(sels), jnp.stack(valids)
