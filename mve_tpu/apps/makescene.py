@@ -22,13 +22,38 @@ from ..core import image_io, bundle_io, image_tools
 IMAGE_EXTS = (".jpg", ".jpeg", ".png", ".tif", ".tiff", ".ppm", ".pgm", ".pfm", ".bmp")
 
 
-def import_images(input_dir: str, scene_path: str, max_pixels: int = 0) -> int:
-    """One view per image (makescene.cc import_images)."""
-    scene = Scene.create(scene_path)
+def _parse_init_intrinsics(spec: str) -> CameraInfo:
+    """'f[,k1,k2[,ppx,ppy[,pa]]]' -> CameraInfo (makescene.cc:1053-1075)."""
+    vals = [float(x) for x in spec.split(",") if x != ""]
+    cam = CameraInfo()
+    if len(vals) > 0:
+        cam.flen = vals[0]
+    if len(vals) >= 3:
+        cam.dist = np.array(vals[1:3], np.float32)
+    if len(vals) >= 5:
+        cam.ppoint = np.array(vals[3:5], np.float32)
+    if len(vals) >= 6:
+        cam.paspect = vals[5]
+    return cam
+
+
+def import_images(input_dir: str, scene_path: str, max_pixels: int = 0,
+                  append: bool = False, init_intrinsics: str = "") -> int:
+    """One view per image (makescene.cc import_images). ``append`` adds the
+    images to an existing scene continuing from the highest view ID
+    (makescene.cc:985-1005); ``init_intrinsics`` seeds each view's camera
+    from 'f,k1,k2,ppx,ppy,pa' (makescene.cc:1053-1075)."""
+    if append:
+        scene = Scene(scene_path)
+        view_id = 1 + max((v.id for v in scene.views if v is not None),
+                          default=-1)
+    else:
+        scene = Scene.create(scene_path)
+        view_id = 0
     files = sorted(
         f for f in os.listdir(input_dir)
         if os.path.splitext(f)[1].lower() in IMAGE_EXTS)
-    view_id = 0
+    n_imported = 0
     for fname in files:
         src = os.path.join(input_dir, fname)
         try:
@@ -41,11 +66,15 @@ def import_images(input_dir: str, scene_path: str, max_pixels: int = 0) -> int:
             img = image_tools.to_byte(np.asarray(image_tools.rescale_half_size(imgf)))
         view = View.create(scene.view_dir_for_id(view_id), view_id,
                            os.path.splitext(fname)[0])
+        view.set_image("thumbnail", image_tools.create_thumbnail(
+            image_tools.to_byte(image_tools.to_float(img))))
         exif = b""
         if os.path.splitext(fname)[1].lower() in (".jpg", ".jpeg"):
             exif = image_io.load_jpeg_exif(src)
         if exif:
             view.set_blob("exif", exif)
+        if init_intrinsics:
+            view.set_camera(_parse_init_intrinsics(init_intrinsics))
         if max_pixels > 0:
             view.set_original_image(img)
             view.save_view()
@@ -53,12 +82,20 @@ def import_images(input_dir: str, scene_path: str, max_pixels: int = 0) -> int:
             view.save_view_as(view.get_directory(), original_src=src)
         scene.add_view(view)
         view_id += 1
-    print(f"Imported {view_id} images into {scene_path}")
-    return view_id
+        n_imported += 1
+    print(f"Imported {n_imported} images into {scene_path}")
+    return n_imported
 
 
-def import_bundle(input_path: str, scene_path: str, fmt: str = "auto") -> int:
-    """NVM file or COLMAP model dir -> scene + bundle."""
+def import_bundle(input_path: str, scene_path: str, fmt: str = "auto",
+                  scale: int = -1) -> int:
+    """NVM file or COLMAP model/workspace dir -> scene + bundle.
+
+    For COLMAP workspaces with stereo depth maps, ``scale >= 0`` also
+    imports each view's depth map as a ``depth-L<scale>`` embedding in
+    MVE's ray-length convention (and ``undist-L<scale>`` for scale >= 1),
+    matching makescene.cc:440-481.
+    """
     if fmt == "auto":
         fmt = "nvm" if input_path.endswith(".nvm") else "colmap"
     if fmt == "nvm":
@@ -66,7 +103,9 @@ def import_bundle(input_path: str, scene_path: str, fmt: str = "auto") -> int:
         base = os.path.dirname(input_path)
     else:
         bundle, meta = bundle_io.load_colmap_bundle(input_path)
-        base = os.path.join(input_path, "..", "images")
+        base = (os.path.join(input_path, "images")
+                if os.path.isdir(os.path.join(input_path, "images"))
+                else os.path.join(input_path, "..", "images"))
     scene = Scene.create(scene_path)
     for i, (cam, m) in enumerate(zip(bundle.cameras, meta)):
         view = View.create(scene.view_dir_for_id(i), i,
@@ -74,6 +113,7 @@ def import_bundle(input_path: str, scene_path: str, fmt: str = "auto") -> int:
         img_path = m["filename"]
         if not os.path.isabs(img_path):
             img_path = os.path.join(base, img_path)
+        img = None
         if os.path.isfile(img_path):
             img = image_io.load_image(img_path)
             h, w = img.shape[:2]
@@ -81,6 +121,18 @@ def import_bundle(input_path: str, scene_path: str, fmt: str = "auto") -> int:
                 cam = cam.copy()
                 cam.flen = cam.flen / max(w, h)
             view.set_image("undistorted", img)
+        if (fmt == "colmap" and img is not None and scale >= 0
+                and m.get("depth_map")):
+            h, w = img.shape[:2]
+            depth = bundle_io.load_colmap_depth_map(
+                scale, cam, w, h, m["depth_map"])
+            view.set_image(f"depth-L{scale}", np.asarray(depth, np.float32))
+            if scale >= 1:
+                und = img
+                for _ in range(scale):
+                    und = image_tools.to_byte(np.asarray(
+                        image_tools.rescale_half_size(image_tools.to_float(und))))
+                view.set_image(f"undist-L{scale}", und)
         view.set_camera(cam)
         view.save_view()
         scene.add_view(view)
@@ -181,18 +233,34 @@ def main(argv=None) -> int:
                    help="Bundle ID (Photosynther and Bundler only)")
     p.add_argument("-o", "--original", action="store_true",
                    help="Import original images (bundle workspaces)")
+    p.add_argument("-a", "--append-images", action="store_true",
+                   help="Append images to an existing scene (with -i)")
+    p.add_argument("-c", "--init-intrinsics", default="",
+                   help="Initial camera intrinsics 'f,k1,k2,ppx,ppy,pa'")
+    p.add_argument("-s", "--scale", type=int, default=-1,
+                   help="Import COLMAP depth maps at this pyramid scale")
     args = p.parse_args(argv)
 
+    if args.append_images and not args.images_only:
+        p.error("Cannot --append-images without --images-only")
+
+    def _is_colmap(path):
+        return (os.path.isfile(os.path.join(path, "cameras.txt"))
+                or os.path.isfile(os.path.join(path, "cameras.bin"))
+                or os.path.isdir(os.path.join(path, "sparse")))
+
     if args.images_only:
-        import_images(args.input, args.scene, args.max_pixels)
+        import_images(args.input, args.scene, args.max_pixels,
+                      append=args.append_images,
+                      init_intrinsics=args.init_intrinsics)
     elif os.path.isdir(os.path.join(args.input, "bundle")):
         import_bundle_noah_ps(args.input, args.scene, bundle_id=args.bundle_id,
                               import_original=args.original)
-    elif (os.path.isdir(args.input)
-          and not os.path.isfile(os.path.join(args.input, "cameras.txt"))):
-        import_images(args.input, args.scene, args.max_pixels)
+    elif os.path.isdir(args.input) and not _is_colmap(args.input):
+        import_images(args.input, args.scene, args.max_pixels,
+                      init_intrinsics=args.init_intrinsics)
     else:
-        import_bundle(args.input, args.scene)
+        import_bundle(args.input, args.scene, scale=args.scale)
     return 0
 
 

@@ -54,6 +54,14 @@ def rescale_half_size(img):
     return 0.25 * (img[0::2, 0::2] + img[1::2, 0::2] + img[0::2, 1::2] + img[1::2, 1::2])
 
 
+def rescale_half_size_subsample(img):
+    """Half-size by taking every second pixel (image_tools.h:695-718);
+    output dims are ceil(w/2) x ceil(h/2). Lossless for images produced by
+    rescale_double_size_supersample; used for COLMAP depth-map rescaling."""
+    img = jnp.asarray(img)
+    return img[0::2, 0::2]
+
+
 def rescale_half_size_gaussian(img, sigma: float = math.sqrt(1.0)):
     """Gaussian 4x4-tap half-size (image_tools.h:619).
 
@@ -95,6 +103,25 @@ def rescale_double_size(img):
     return out
 
 
+def rescale_double_size_supersample(img):
+    """2x upscale keeping every second row/column exact
+    (image_tools.h:214-223): even output pixels copy the input, odd ones
+    linearly interpolate — a half-pixel shift toward the upper left.
+    Inverse of rescale_half_size_subsample."""
+    img = jnp.asarray(img)
+    right = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
+    down = jnp.concatenate([img[1:], img[-1:]], axis=0)
+    down_right = jnp.concatenate([right[1:], right[-1:]], axis=0)
+    h, w = img.shape[0], img.shape[1]
+    out_shape = (2 * h, 2 * w) + img.shape[2:]
+    out = jnp.zeros(out_shape, img.dtype)
+    out = out.at[0::2, 0::2].set(img)
+    out = out.at[0::2, 1::2].set((img + right) / 2)
+    out = out.at[1::2, 0::2].set((img + down) / 2)
+    out = out.at[1::2, 1::2].set((img + right + down + down_right) / 4)
+    return out
+
+
 def resize(img, new_h: int, new_w: int, method: str = "linear"):
     """General rescale (image_tools.h rescale_image nearest/linear)."""
     img = jnp.asarray(img)
@@ -104,6 +131,29 @@ def resize(img, new_h: int, new_w: int, method: str = "linear"):
 # ---------------------------------------------------------------------------
 # blurring
 # ---------------------------------------------------------------------------
+
+def create_thumbnail(img, thumb_width: int = 50, thumb_height: int = 50):
+    """Aspect-filling thumbnail: linear rescale to cover the thumb dims,
+    then center crop (image_tools.h:1659-1690 create_thumbnail)."""
+    img = np.asarray(img)
+    if img.ndim == 2:
+        img = img[..., None]
+    h, w = img.shape[:2]
+    image_aspect = w / h
+    thumb_aspect = thumb_width / thumb_height
+    if image_aspect > thumb_aspect:
+        rw, rh = int(math.ceil(thumb_height * image_aspect)), thumb_height
+        cl, ct = (rw - thumb_width) // 2, 0
+    else:
+        rw, rh = thumb_width, int(math.ceil(thumb_width / image_aspect))
+        cl, ct = 0, (rh - thumb_height) // 2
+    dtype = img.dtype
+    small = np.asarray(resize(img.astype(np.float32), rh, rw, "linear"))
+    out = small[ct:ct + thumb_height, cl:cl + thumb_width]
+    if np.issubdtype(dtype, np.integer):
+        out = np.clip(np.rint(out), np.iinfo(dtype).min, np.iinfo(dtype).max)
+    return out.astype(dtype)
+
 
 def _gauss_kernel_1d(sigma: float):
     ks = int(math.ceil(sigma * 2.884)) * 2 + 1  # image_tools blur_gaussian
