@@ -15,11 +15,64 @@ from ..mvs import DMRecon, Settings
 from ..utils.timer import WallTimer
 
 
+class FancyProgressPrinter:
+    """Live single-line status poller (reference:
+    apps/dmrecon/fancy_progress_printer.h). A daemon thread polls the
+    current DMRecon's ``progress`` struct and rewrites the status line
+    (``\\r``) while a view reconstructs; falls back to silence when stdout
+    is not a terminal."""
+
+    def __init__(self, interval: float = 0.5):
+        self.interval = interval
+        self._recon = None
+        self._view_id = -1
+        self._thread = None
+        self._stop = False
+
+    def attach(self, view_id: int, recon: "DMRecon") -> None:
+        import threading
+
+        self._view_id = view_id
+        self._recon = recon
+        if self._thread is None and sys.stdout.isatty():
+            self._stop = False
+            self._thread = threading.Thread(target=self._run, daemon=True)
+            self._thread.start()
+
+    def detach(self) -> None:
+        self._recon = None
+
+    def stop(self) -> None:
+        self._stop = True
+        if self._thread is not None:
+            self._thread.join(timeout=2 * self.interval)
+            self._thread = None
+            sys.stdout.write("\r\033[K")
+            sys.stdout.flush()
+
+    def _run(self) -> None:
+        import time
+
+        while not self._stop:
+            recon = self._recon
+            if recon is not None:
+                pr = recon.progress
+                line = (f"\r\033[Kview {self._view_id}: {pr.status.value}"
+                        f" ({pr.elapsed():.1f}s")
+                if pr.queue_size:
+                    line += f", {pr.queue_size} rounds left"
+                line += ")"
+                sys.stdout.write(line)
+                sys.stdout.flush()
+            time.sleep(self.interval)
+
+
 def reconstruct_views(scene_path: str, *, scale: int = 0, view_ids=None,
                       max_pixels: int = 0, force: bool = False,
                       settings: Settings | None = None,
                       process_id: int = 0, num_processes: int = 1,
-                      verbose: bool = True) -> int:
+                      verbose: bool = True,
+                      progress: "FancyProgressPrinter | None" = None) -> int:
     """Per-view MVS; with num_processes > 1, views partition across
     processes (the distributed analog of the reference's OpenMP view
     loop, apps/dmrecon/dmrecon.cc:285 — per-view artifacts on shared
@@ -50,11 +103,16 @@ def reconstruct_views(scene_path: str, *, scale: int = 0, view_ids=None,
         timer = WallTimer()
         try:
             recon = DMRecon(scene, st)
+            if progress is not None:
+                progress.attach(i, recon)
             recon.start()
         except (RuntimeError, ValueError) as exc:
             if verbose:
                 print(f"View {i}: {exc}")
             continue
+        finally:
+            if progress is not None:
+                progress.detach()
         view.save_view()
         view.cache_cleanup()
         done += 1
@@ -79,14 +137,22 @@ def main(argv=None) -> int:
     p.add_argument("--num-processes", type=int,
                    default=int(os.environ.get("JAX_NUM_PROCESSES", 1)),
                    help="Total processes sharing the view list")
+    p.add_argument("--progress", action="store_true",
+                   help="Live per-view status line (fancy progress printer)")
     args = p.parse_args(argv)
     ids = None
     if args.view_ids:
         ids = set(int(x) for x in args.view_ids.split(","))
-    n = reconstruct_views(args.scene, scale=args.scale, view_ids=ids,
-                          max_pixels=args.max_pixels, force=args.force,
-                          process_id=args.process_id,
-                          num_processes=args.num_processes)
+    printer = FancyProgressPrinter() if args.progress else None
+    try:
+        n = reconstruct_views(args.scene, scale=args.scale, view_ids=ids,
+                              max_pixels=args.max_pixels, force=args.force,
+                              process_id=args.process_id,
+                              num_processes=args.num_processes,
+                              progress=printer)
+    finally:
+        if printer is not None:
+            printer.stop()
     print(f"Reconstructed {n} depth maps.")
     return 0
 

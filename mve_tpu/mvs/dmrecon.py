@@ -74,11 +74,17 @@ class DMRecon:
     """Mirrors mvs::DMRecon (dmrecon.h:40-68)."""
 
     def __init__(self, scene: Scene, settings: Settings):
+        from .progress import Progress
+
         self.scene = scene
         self.settings = settings
         self.filled_ratio = 0.0
+        self.progress = Progress()
 
     def start(self) -> None:
+        from .progress import ReconStatus
+
+        self.progress.begin()
         s = self.settings
         scene = self.scene
         bundle = scene.get_bundle()
@@ -109,6 +115,8 @@ class DMRecon:
                 full_sizes.append(v.get_image_size(s.image_embedding))
 
         # --- global view selection (global_view_selection.cc)
+        self.progress.status = ReconStatus.GLOBALVS
+        self.progress.check_cancelled()
         selected = global_view_selection(
             positions, vis, cameras, full_sizes, s.ref_view_nr,
             max_views=s.global_vs_max, min_parallax=s.min_parallax)
@@ -153,6 +161,8 @@ class DMRecon:
 
         # --- feature seeds: project features of the ref view, depth =
         # ray length (dmrecon.cc processFeatures seeds)
+        self.progress.status = ReconStatus.FEATURES
+        self.progress.check_cancelled()
         feat_ids = np.nonzero(vis[s.ref_view_nr])[0]
         seed_depth = np.zeros((H, W), np.float64)
         seed_mask = np.zeros((H, W), bool)
@@ -182,6 +192,8 @@ class DMRecon:
         cam_pos = np.stack([views[v].camera.camera_pos() for v in selected])
 
         # --- batched optimization
+        self.progress.status = ReconStatus.QUEUE
+        self.progress.check_cancelled()
         depth, score, kth = self._optimize(
             jnp.asarray(ref_level, jnp.float32), jnp.asarray(neigh, jnp.float32),
             jnp.asarray(np.stack(Ts), jnp.float32), jnp.asarray(np.stack(ts), jnp.float32),
@@ -201,6 +213,8 @@ class DMRecon:
         accepted = conf > 0.0
         depth = np.where(accepted, depth, 0.0).astype(np.float32)
         self.filled_ratio = float(accepted.mean())
+        self.progress.filled = int(accepted.sum())
+        self.progress.status = ReconStatus.SAVING
 
         # --- write embeddings (dmrecon.cc:120-145)
         ref_view.set_image(f"depth-L{s.scale}", depth[:, :, None])
@@ -214,6 +228,8 @@ class DMRecon:
         if s.scale != 0:
             lvl_img = np.asarray(_image_at_level_color(ref_img_full, s.scale))
             ref_view.set_image(f"undist-L{s.scale}", lvl_img)
+        self.progress.status = ReconStatus.IDLE
+        self.progress.queue_size = 0
         if not s.quiet:
             print(f"View {s.ref_view_nr}: filled {100.0 * self.filled_ratio:.1f}% "
                   f"({len(selected)} neighbors)")
@@ -298,6 +314,8 @@ class DMRecon:
         # round in one dispatch.
         shifts = ((0, 1), (0, -1), (1, 0), (-1, 0), (0, 3), (3, 0), (0, -3), (-3, 0))
         for it in range(s.num_propagation_iters):
+            self.progress.queue_size = s.num_propagation_iters - it
+            self.progress.check_cancelled()
             if use_local and it == s.num_propagation_iters // 2:
                 # Mid-run refresh: depths have moved; failing views get
                 # replaced (local_view_selection.cc replaceViews).

@@ -52,3 +52,29 @@ def test_dmrecon_scale_level(plane_scene):
     assert valid.mean() > 0.4
     rel_err = np.abs(depth[valid] - expected[valid]) / expected[valid]
     assert np.median(rel_err) < 0.03
+
+
+def test_progress_tracking(tmp_path):
+    """DMRecon updates its Progress struct and honors cancellation
+    (reference: dmrecon/progress.h)."""
+    from mve_tpu.mvs import DMRecon, Settings
+    from mve_tpu.mvs.progress import ReconStatus
+
+    make_plane_scene(str(tmp_path / "scene"), n_views=5)
+    from mve_tpu.core import Scene
+    scene = Scene(str(tmp_path / "scene"))
+    recon = DMRecon(scene, Settings(ref_view_nr=0, scale=0,
+                                    num_sweep_planes=4,
+                                    num_propagation_iters=2, quiet=True))
+    assert recon.progress.status is ReconStatus.IDLE
+    recon.start()
+    assert recon.progress.status is ReconStatus.IDLE
+    assert recon.progress.filled > 0
+    assert recon.progress.elapsed() > 0
+
+    recon2 = DMRecon(scene, Settings(ref_view_nr=1, scale=0, quiet=True))
+    recon2.progress.cancelled = True
+    import pytest
+    with pytest.raises(RuntimeError, match="cancelled"):
+        recon2.start()
+    assert recon2.progress.status is ReconStatus.CANCELLED
