@@ -22,7 +22,16 @@ Layer map (mirrors the reference's libs/, see SURVEY.md §1):
 
 __version__ = "0.1.0"
 
+import os as _os
+
 import jax as _jax
+
+# Optional platform override (e.g. MVE_TPU_PLATFORM=cpu to keep small CLI
+# jobs off the TPU). Honored here because some environments force-register
+# a TPU platform in sitecustomize, overriding JAX_PLATFORMS before user
+# code runs; updating the config after import is the reliable hook.
+if _os.environ.get("MVE_TPU_PLATFORM"):
+    _jax.config.update("jax_platforms", _os.environ["MVE_TPU_PLATFORM"])
 
 # Geometry code (rotations, epipolar solvers, triangulation, BA) needs full
 # float32 matmuls; on TPU the default MXU precision is bfloat16, which is
