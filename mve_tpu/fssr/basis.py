@@ -18,6 +18,8 @@ world-space gradients. Note: the reference's weight derivative divides by
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -38,6 +40,51 @@ def evaluate_pairs_indexed(positions, pos, normal, scale, conf, color,
         out["vw"][:, None], out["w"][:, None], out["cw"][:, None],
         out["sw"][:, None], out["dvw"], out["c"]], axis=1)
     return jax.ops.segment_sum(flat, pair_v, num_segments=V)
+
+
+@functools.partial(jax.jit, static_argnames=("num_voxels",))
+def scale_filter_pairs(scale, pair_v, pair_s, num_voxels: int):
+    """Per-voxel scale filter on device (iso_octree.cc:104-112): sort
+    influence pairs by (voxel, sample scale) and mark pairs whose scale
+    exceeds 2x the voxel's 10th-percentile (index count//10) influencing
+    scale. Padded pairs carry pair_v == num_voxels and sort to the end of
+    their (last) segment with an infinite key.
+
+    Returns (sorted_pair_v, sorted_pair_s, keep_mask), all (Pb,).
+    """
+    Vb = num_voxels
+    pscale = scale[pair_s]
+    key_scale = jnp.where(pair_v >= Vb, jnp.inf, pscale)
+    s_pv, ss, s_ps = jax.lax.sort((pair_v, key_scale, pair_s), num_keys=2)
+    ones = jnp.ones_like(s_pv)
+    counts = jax.ops.segment_sum(ones, s_pv, num_segments=Vb + 1)
+    starts = jnp.cumsum(counts) - counts
+    nth = jnp.clip(starts + counts // 10, starts,
+                   starts + jnp.maximum(counts - 1, 0))
+    thresh = 2.0 * ss[jnp.clip(nth, 0, ss.shape[0] - 1)]
+    keep = (ss <= thresh[s_pv]) & (s_pv < Vb)
+    return s_pv, s_ps, keep
+
+
+@jax.jit
+def evaluate_pairs_masked(positions, pos, normal, scale, conf, color,
+                          pair_v, pair_s, keep):
+    """Evaluate one fixed-size chunk of influence pairs and segment-sum
+    per voxel, zeroing masked-out (scale-filtered or padding) pairs.
+
+    positions (Vb, 3); sample arrays (Nb, ...); chunk arrays (CHUNK,).
+    Returns (Vb, 10) sums [vw, w, cw, sw, dvw(3), c(3)].
+    """
+    Vb = positions.shape[0]
+    vpos = positions[jnp.minimum(pair_v, Vb - 1)]
+    out = evaluate_pairs(vpos, pos[pair_s], normal[pair_s],
+                         scale[pair_s], conf[pair_s], color[pair_s])
+    flat = jnp.concatenate([
+        out["vw"][:, None], out["w"][:, None], out["cw"][:, None],
+        out["sw"][:, None], out["dvw"], out["c"]], axis=1)
+    flat = jnp.where(keep[:, None], flat, 0.0)
+    return jax.ops.segment_sum(flat, jnp.minimum(pair_v, Vb),
+                               num_segments=Vb + 1)[:Vb]
 
 
 @jax.jit

@@ -46,19 +46,32 @@ class VoxelGrid:
         return self.origin[None, :] + np.stack([ix, iy, iz], axis=-1) * self.cell_size
 
 
+def _shape_bucket(n: int, minimum: int = 4096) -> int:
+    """Next power of two >= n. Every jit entry point pads to bucketed
+    shapes: the persistent XLA cache is unavailable on this backend, so
+    stable in-process shapes are what keeps recompiles O(log size)."""
+    size = minimum
+    while size < n:
+        size *= 2
+    return size
+
+
 def evaluate_at_positions(samples: SampleList, positions: np.ndarray,
-                          pair_chunk: int = 2_000_000) -> dict:
+                          pair_chunk: int = 0) -> dict:
     """Evaluate the FSSR implicit function at arbitrary positions.
 
     Returns dict of arrays value/conf/deriv/scale/color, each len(positions).
     This is iso_octree.cc sample_ifn batched: influence pairing by grid
-    hashing, per-position scale filter, fused basis/weight kernel +
-    segment sums on device.
+    hashing on the host, then ONE fused device program (scale filter via
+    on-device sort + per-voxel percentile, basis/weight evaluation,
+    segment sums) over shape-bucketed padded pair arrays.
     """
+    del pair_chunk  # retained for API compatibility
     pos = samples.pos.astype(np.float64)
     scale = samples.scale.astype(np.float64)
     positions = np.asarray(positions, np.float64)
     V = len(positions)
+    N = len(pos)
     h = float(np.median(scale))
 
     from .. import native as _native
@@ -66,36 +79,40 @@ def evaluate_at_positions(samples: SampleList, positions: np.ndarray,
     native_pairs = _native.fssr_influence_pairs(positions, pos, scale)
     if native_pairs is not None:
         pair_v, pair_s = native_pairs
-        filtered = _native.fssr_scale_filter(pair_v, pair_s, scale, V)
-        if filtered is not None:
-            pair_v, pair_s = filtered
-        else:
-            pair_v, pair_s = IsoOctree._scale_filter(pair_v, pair_s, scale, V)
     else:
         pair_v, pair_s = IsoOctree._influence_pairs(positions, pos, scale, h)
-        pair_v, pair_s = IsoOctree._scale_filter(pair_v, pair_s, scale, V)
 
-    # Ship samples/positions once; per chunk only the int32 pair indices
-    # cross to the device (gathers + segment-sum happen there).
-    from .basis import evaluate_pairs_indexed
+    from .basis import evaluate_pairs_masked, scale_filter_pairs
 
-    d_positions = jnp.asarray(positions, jnp.float32)
-    d_pos = jnp.asarray(pos, jnp.float32)
-    d_normal = jnp.asarray(samples.normal, jnp.float32)
-    d_scale = jnp.asarray(scale, jnp.float32)
-    d_conf = jnp.asarray(samples.confidence, jnp.float32)
-    d_color = jnp.asarray(samples.color, jnp.float32)
-    seg_dummy = jnp.zeros(V, jnp.int8)
+    CHUNK = 4_194_304  # fixed eval-chunk length: stable shapes, bounded HBM
+    Vb = _shape_bucket(V)
+    Nb = _shape_bucket(N)
+    Pb = _shape_bucket(len(pair_v), minimum=CHUNK)
 
-    sums = np.zeros((V, 10))
-    P = len(pair_v)
-    for start in range(0, P, pair_chunk):
-        sl = slice(start, min(start + pair_chunk, P))
-        out = evaluate_pairs_indexed(
+    d_positions = jnp.asarray(_pad_rows(positions.astype(np.float32), Vb))
+    d_pos = jnp.asarray(_pad_rows(pos.astype(np.float32), Nb))
+    d_normal = jnp.asarray(_pad_rows(
+        samples.normal.astype(np.float32), Nb, fill=(0.0, 0.0, 1.0)))
+    d_scale = jnp.asarray(_pad_rows(scale.astype(np.float32), Nb, fill=1.0))
+    d_conf = jnp.asarray(_pad_rows(
+        samples.confidence.astype(np.float32), Nb))
+    d_color = jnp.asarray(_pad_rows(samples.color.astype(np.float32), Nb))
+    pv = np.full(Pb, Vb, np.int32)
+    pv[:len(pair_v)] = pair_v
+    ps = np.zeros(Pb, np.int32)
+    ps[:len(pair_s)] = pair_s
+
+    s_pv, s_ps, keep = scale_filter_pairs(
+        d_scale, jnp.asarray(pv), jnp.asarray(ps), num_voxels=Vb)
+    sums_dev = None
+    for start in range(0, Pb, CHUNK):
+        out = evaluate_pairs_masked(
             d_positions, d_pos, d_normal, d_scale, d_conf, d_color,
-            jnp.asarray(pair_v[sl].astype(np.int32)),
-            jnp.asarray(pair_s[sl].astype(np.int32)), seg_dummy)
-        sums += np.asarray(out, np.float64)
+            jax.lax.dynamic_slice_in_dim(s_pv, start, CHUNK),
+            jax.lax.dynamic_slice_in_dim(s_ps, start, CHUNK),
+            jax.lax.dynamic_slice_in_dim(keep, start, CHUNK))
+        sums_dev = out if sums_dev is None else sums_dev + out
+    sums = np.asarray(sums_dev, np.float64)[:V]
     value = sums[:, 0]
     conf = sums[:, 1]
     cw_total = sums[:, 2]
@@ -114,6 +131,15 @@ def evaluate_at_positions(samples: SampleList, positions: np.ndarray,
         "scale": sw_total / cw_safe,
         "color": col / cw_safe[:, None],
     }
+
+
+def _pad_rows(arr: np.ndarray, n: int, fill=0.0) -> np.ndarray:
+    """Pad axis 0 of arr to length n with a constant row."""
+    if arr.shape[0] >= n:
+        return arr
+    pad = np.empty((n - arr.shape[0],) + arr.shape[1:], arr.dtype)
+    pad[...] = fill
+    return np.concatenate([arr, pad])
 
 
 class IsoOctree:

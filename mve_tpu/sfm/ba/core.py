@@ -204,16 +204,25 @@ def solve_schur(Jc, Jp, cam_idx, pt_idx, B, Cb, v, w, trr,
     rhs = v - E_z(jnp.einsum("pij,pj->pi", C_inv, w))
 
     # PCG (ba_conjugate_gradient.h:100-208 semantics: abs tolerance 1e-20
-    # on ||r||^2, preconditioned directions).
+    # on ||r||^2, preconditioned directions). The reference's absolute
+    # 1e-20 is reachable in its doubles but not in float32, so the
+    # termination is the reference tolerance OR machine precision relative
+    # to the initial residual (||r||^2 < 100 eps^2 ||r0||^2 — for f64 this
+    # reduces to the reference's behavior). Iterations are additionally
+    # capped at the Krylov dimension 9C, where exact CG has converged.
     y0 = jnp.zeros_like(v)
     r0 = rhs
     z0 = precond(r0)
     d0 = z0
     rz0 = jnp.sum(r0 * z0)
+    rr0 = jnp.sum(r0 * r0)
+    eps = jnp.finfo(dtype).eps
+    tol = jnp.maximum(jnp.asarray(1e-20, dtype), rr0 * (eps * eps * 100.0))
+    max_it = min(cg_max_iter, 9 * C)
 
     def cond(state):
         i, y, r, d, rz, done = state
-        return (~done) & (i < cg_max_iter)
+        return (~done) & (i < max_it)
 
     def body(state):
         i, y, r, d, rz, done = state
@@ -227,11 +236,11 @@ def solve_schur(Jc, Jp, cam_idx, pt_idx, B, Cb, v, w, trr,
         rz_new = jnp.sum(r * z)
         beta = rz_new / jnp.where(jnp.abs(rz) < 1e-30, 1e-30, rz)
         d = z + beta * d
-        done = rr < 1e-20
+        done = rr < tol
         return (i + 1, y, r, d, rz_new, done)
 
     i, y, r, d, rz, done = jax.lax.while_loop(
-        cond, body, (jnp.zeros((), jnp.int32), y0, r0, d0, rz0, jnp.sum(r0 * r0) < 1e-20))
+        cond, body, (jnp.zeros((), jnp.int32), y0, r0, d0, rz0, rr0 < tol))
 
     delta_y = y
     # Back-substitution: delta_z = C^-1 (w - E^T delta_y).
@@ -266,10 +275,16 @@ def solve_cameras_only(Jc, cam_idx, B, v, trr, cg_max_iter: int = 1000):
     z0 = pre * r0
     d0 = z0
     rz0 = jnp.sum(r0 * z0)
+    rr0 = jnp.sum(r0 * r0)
+    # Same termination rule as solve_schur: reference 1e-20 absolute OR
+    # float-precision-relative, capped at the Krylov dimension.
+    eps = jnp.finfo(dtype).eps
+    tol = jnp.maximum(jnp.asarray(1e-20, dtype), rr0 * (eps * eps * 100.0))
+    max_it = min(cg_max_iter, 9 * C)
 
     def cond(state):
         i, y, r, d, rz, done = state
-        return (~done) & (i < cg_max_iter)
+        return (~done) & (i < max_it)
 
     def body(state):
         i, y, r, d, rz, done = state
@@ -283,11 +298,11 @@ def solve_cameras_only(Jc, cam_idx, B, v, trr, cg_max_iter: int = 1000):
         rz_new = jnp.sum(r * z)
         beta = rz_new / jnp.where(jnp.abs(rz) < 1e-30, 1e-30, rz)
         d = z + beta * d
-        done = rr < 1e-20
+        done = rr < tol
         return (i + 1, y, r, d, rz_new, done)
 
     i, y, r, d, rz, done = jax.lax.while_loop(
-        cond, body, (jnp.zeros((), jnp.int32), y0, r0, d0, rz0, jnp.sum(r0 * r0) < 1e-20))
+        cond, body, (jnp.zeros((), jnp.int32), y0, r0, d0, rz0, rr0 < tol))
     B_diag = B * jnp.eye(9, dtype=dtype)
     pred = jnp.sum(y * (jnp.einsum("cij,cj->ci", B_diag, y) / trr + v))
     return y, pred, i
