@@ -127,8 +127,33 @@ def main(argv=None) -> int:
     p.add_argument("-s", "--scale", type=int, default=0, help="Pyramid level")
     p.add_argument("--max-pixels", type=int, default=0,
                    help="Select scale so images are below ARG pixels")
-    p.add_argument("--view-ids", type=str, default="",
+    p.add_argument("--view-ids", "-l", "--list-view", type=str, default="",
+                   dest="view_ids",
                    help="Comma-separated view IDs to reconstruct [all]")
+    p.add_argument("-m", "--master-view", type=int, default=-1,
+                   help="Reconstruct only this view ID")
+    p.add_argument("-n", "--neighbors", type=int, default=None,
+                   help="Neighbor views per patch [4]")
+    p.add_argument("--filter-width", type=int, default=None,
+                   help="NCC patch size [5]")
+    p.add_argument("--min-ncc", type=float, default=None,
+                   help="Minimum NCC for a view to count [0.3]")
+    p.add_argument("-i", "--image", type=str, default=None,
+                   help="Image embedding [undistorted]")
+    p.add_argument("--nocolorscale", action="store_true",
+                   help="Accepted for reference CLI parity; NCC scoring is "
+                        "affine-intensity invariant, so color scaling is "
+                        "always implicitly on and cannot be disabled")
+    p.add_argument("--keep-dz", action="store_true",
+                   help="Store dz map as dz-L<s> [on]")
+    p.add_argument("--keep-conf", action="store_true",
+                   help="Store confidence map as conf-L<s> [on]")
+    p.add_argument("-p", "--writeply", action="store_true",
+                   help="Write per-view reconstruction as PLY")
+    p.add_argument("--plydest", type=str, default="recon",
+                   help="Destination directory for PLY files")
+    p.add_argument("--bounding-box", type=str, default="",
+                   help="Six comma-separated values: minx,miny,minz,maxx,maxy,maxz")
     p.add_argument("-f", "--force", action="store_true",
                    help="Reconstruct even if depth embedding exists")
     p.add_argument("--process-id", type=int,
@@ -143,10 +168,41 @@ def main(argv=None) -> int:
     ids = None
     if args.view_ids:
         ids = set(int(x) for x in args.view_ids.split(","))
+    if args.master_view >= 0:
+        ids = {args.master_view}
+    if args.nocolorscale:
+        print("Note: NCC scoring normalizes intensity per patch; "
+              "--nocolorscale has no effect in this implementation.")
+    import dataclasses as _dc
+
+    import numpy as _np
+
+    st = Settings()
+    overrides = {}
+    if args.neighbors is not None:
+        overrides["nr_recon_neighbors"] = args.neighbors
+    if args.filter_width is not None:
+        overrides["filter_width"] = args.filter_width
+    if args.min_ncc is not None:
+        overrides["min_ncc"] = args.min_ncc
+    if args.image is not None:
+        overrides["image_embedding"] = args.image
+    if args.writeply:
+        overrides["write_ply_file"] = True
+        overrides["ply_path"] = os.path.join(args.scene, args.plydest)
+    if args.bounding_box:
+        vals = [float(x) for x in args.bounding_box.split(",")]
+        if len(vals) != 6:
+            p.error("--bounding-box needs 6 comma-separated values")
+        overrides["aabb_min"] = _np.asarray(vals[:3])
+        overrides["aabb_max"] = _np.asarray(vals[3:])
+    if overrides:
+        st = _dc.replace(st, **overrides)
     printer = FancyProgressPrinter() if args.progress else None
     try:
         n = reconstruct_views(args.scene, scale=args.scale, view_ids=ids,
                               max_pixels=args.max_pixels, force=args.force,
+                              settings=st,
                               process_id=args.process_id,
                               num_processes=args.num_processes,
                               progress=printer)

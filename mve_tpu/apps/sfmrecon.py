@@ -32,6 +32,7 @@ RAND_SEED_SFM = 1
 def sfm_reconstruct(scene_path: str, *, max_pixels: int = 6_000_000,
                     initial_pair=(-1, -1), video_matching: int = 0,
                     use_lowres_matching: bool = False,
+                    use_cascade_hashing: bool = False,
                     fixed_intrinsics: bool = False,
                     intrinsics_from_views: bool = False,
                     always_full_ba: bool = False,
@@ -79,12 +80,20 @@ def sfm_reconstruct(scene_path: str, *, max_pixels: int = 6_000_000,
         timer.reset()
         if verbose:
             print("Performing feature matching...")
-        from ..sfm.bundler.matching_batched import BatchedMatching
-
-        matcher = BatchedMatching(BundlerMatchingOptions(
+        mopts = BundlerMatchingOptions(
             use_lowres_matching=use_lowres_matching,
+            use_cascade_hashing=use_cascade_hashing,
             max_num_pairs_per_view=video_matching,
-            verbose=verbose))
+            verbose=verbose)
+        if use_cascade_hashing:
+            # Matcher selection (sfmrecon.cc:141-153): the LSH cascade
+            # runs per pair; the default path batches all pairs into a
+            # few MXU dispatches.
+            matcher = Matching(mopts)
+        else:
+            from ..sfm.bundler.matching_batched import BatchedMatching
+
+            matcher = BatchedMatching(mopts)
         pairwise_matching = matcher.compute(viewports, seed=RAND_SEED_MATCHING)
         if verbose:
             print(f"Matching took {timer.get_elapsed()}ms; "
@@ -154,6 +163,8 @@ def main(argv=None) -> int:
                    help="Only match to ARG previous frames")
     p.add_argument("--lowres-matching", action="store_true",
                    help="Low-res match pre-filtering")
+    p.add_argument("--cascade-hashing", action="store_true",
+                   help="Use cascade hashing for matching")
     p.add_argument("--fixed-intrinsics", action="store_true",
                    help="Do not optimize camera intrinsics")
     p.add_argument("--intrinsics-from-views", action="store_true",
@@ -171,6 +182,7 @@ def main(argv=None) -> int:
         args.scene, max_pixels=args.max_pixels, initial_pair=pair,
         video_matching=args.video_matching,
         use_lowres_matching=args.lowres_matching,
+        use_cascade_hashing=args.cascade_hashing,
         fixed_intrinsics=args.fixed_intrinsics,
         intrinsics_from_views=args.intrinsics_from_views,
         always_full_ba=args.always_full_ba, normalize=args.normalize,

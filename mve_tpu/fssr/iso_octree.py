@@ -75,12 +75,14 @@ def evaluate_at_positions(samples: SampleList, positions: np.ndarray,
     h = float(np.median(scale))
 
     from .. import native as _native
+    from ..utils.tracing import trace_stage
 
-    native_pairs = _native.fssr_influence_pairs(positions, pos, scale)
-    if native_pairs is not None:
-        pair_v, pair_s = native_pairs
-    else:
-        pair_v, pair_s = IsoOctree._influence_pairs(positions, pos, scale, h)
+    with trace_stage("fssr.influence_pairs"):
+        native_pairs = _native.fssr_influence_pairs(positions, pos, scale)
+        if native_pairs is not None:
+            pair_v, pair_s = native_pairs
+        else:
+            pair_v, pair_s = IsoOctree._influence_pairs(positions, pos, scale, h)
 
     from .basis import evaluate_pairs_masked, scale_filter_pairs
 
@@ -102,17 +104,18 @@ def evaluate_at_positions(samples: SampleList, positions: np.ndarray,
     ps = np.zeros(Pb, np.int32)
     ps[:len(pair_s)] = pair_s
 
-    s_pv, s_ps, keep = scale_filter_pairs(
-        d_scale, jnp.asarray(pv), jnp.asarray(ps), num_voxels=Vb)
-    sums_dev = None
-    for start in range(0, Pb, CHUNK):
-        out = evaluate_pairs_masked(
-            d_positions, d_pos, d_normal, d_scale, d_conf, d_color,
-            jax.lax.dynamic_slice_in_dim(s_pv, start, CHUNK),
-            jax.lax.dynamic_slice_in_dim(s_ps, start, CHUNK),
-            jax.lax.dynamic_slice_in_dim(keep, start, CHUNK))
-        sums_dev = out if sums_dev is None else sums_dev + out
-    sums = np.asarray(sums_dev, np.float64)[:V]
+    with trace_stage("fssr.device_eval"):
+        s_pv, s_ps, keep = scale_filter_pairs(
+            d_scale, jnp.asarray(pv), jnp.asarray(ps), num_voxels=Vb)
+        sums_dev = None
+        for start in range(0, Pb, CHUNK):
+            out = evaluate_pairs_masked(
+                d_positions, d_pos, d_normal, d_scale, d_conf, d_color,
+                jax.lax.dynamic_slice_in_dim(s_pv, start, CHUNK),
+                jax.lax.dynamic_slice_in_dim(s_ps, start, CHUNK),
+                jax.lax.dynamic_slice_in_dim(keep, start, CHUNK))
+            sums_dev = out if sums_dev is None else sums_dev + out
+        sums = np.asarray(sums_dev, np.float64)[:V]
     value = sums[:, 0]
     conf = sums[:, 1]
     cw_total = sums[:, 2]
@@ -154,6 +157,18 @@ class IsoOctree:
     def compute_voxels(self, samples: SampleList) -> VoxelGrid:
         if len(samples) == 0:
             raise ValueError("No samples given")
+        from ..utils.tracing import trace_stage
+        with trace_stage("fssr.voxel_set"):
+            grid_args = self._build_voxel_set(samples)
+        data = evaluate_at_positions(samples, grid_args[-1], self.pair_chunk)
+        origin, h, dims, voxel_codes, cells, _ = grid_args
+        return VoxelGrid(
+            origin=origin, cell_size=h, dims=dims, voxel_codes=voxel_codes,
+            value=data["value"], conf=data["conf"], deriv=data["deriv"],
+            scale=data["scale"], color=data["color"], active_cells=cells,
+        )
+
+    def _build_voxel_set(self, samples: SampleList):
         pos = samples.pos.astype(np.float64)
         scale = samples.scale.astype(np.float64)
 
@@ -203,13 +218,7 @@ class IsoOctree:
         vy = (voxel_codes % stride_z) // stride_y
         vz = voxel_codes // stride_z
         voxel_pos = origin[None, :] + np.stack([vx, vy, vz], axis=-1) * h
-
-        data = evaluate_at_positions(samples, voxel_pos, self.pair_chunk)
-        return VoxelGrid(
-            origin=origin, cell_size=h, dims=dims, voxel_codes=voxel_codes,
-            value=data["value"], conf=data["conf"], deriv=data["deriv"],
-            scale=data["scale"], color=data["color"], active_cells=cells,
-        )
+        return origin, h, dims, voxel_codes, cells, voxel_pos
 
     # ------------------------------------------------------------------
     @staticmethod

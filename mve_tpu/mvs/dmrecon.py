@@ -70,6 +70,27 @@ def _fill_sparse(depth_sparse: np.ndarray, mask: np.ndarray) -> np.ndarray:
     return d_coarse
 
 
+def _plane_normals(depth, dzx, dzy, ray_world, r: int = 2) -> np.ndarray:
+    """World-space patch-plane normals (patch_sampler.cc getPatchNormal).
+
+    p(dx, dy) = cam_pos + (depth + dx dzI + dy dzJ) * ray(x+dx, y+dy);
+    normal = normalize((p_right - p_left) x (p_top - p_bottom)).
+    cam_pos cancels in the differences, so only rays are needed.
+    """
+    H, W = depth.shape
+    rays = np.pad(ray_world, ((r, r), (r, r), (0, 0)), mode="edge")
+
+    def p(dx, dy):
+        L = depth + dx * dzx + dy * dzy
+        return L[..., None] * rays[r + dy: r + dy + H, r + dx: r + dx + W]
+
+    a = p(r, 0) - p(-r, 0)
+    b = p(0, -r) - p(0, r)
+    n = np.cross(a, b)
+    norm = np.linalg.norm(n, axis=-1, keepdims=True)
+    return n / np.maximum(norm, 1e-30)
+
+
 class DMRecon:
     """Mirrors mvs::DMRecon (dmrecon.h:40-68)."""
 
@@ -194,13 +215,15 @@ class DMRecon:
         # --- batched optimization
         self.progress.status = ReconStatus.QUEUE
         self.progress.check_cancelled()
-        depth, score, kth = self._optimize(
+        depth, dzx, dzy, score, kth = self._optimize(
             jnp.asarray(ref_level, jnp.float32), jnp.asarray(neigh, jnp.float32),
             jnp.asarray(np.stack(Ts), jnp.float32), jnp.asarray(np.stack(ts), jnp.float32),
             jnp.asarray(ray_z), jnp.asarray(init_depth), dmin, dmax,
             jnp.asarray(ray_world, jnp.float32), jnp.asarray(ref_pos, jnp.float32),
             jnp.asarray(cam_pos, jnp.float32))
         depth = np.asarray(depth)
+        dzx = np.asarray(dzx)
+        dzy = np.asarray(dzy)
         score = np.asarray(score)
         kth = np.asarray(kth)
 
@@ -210,6 +233,13 @@ class DMRecon:
         conf = (score - s.accept_ncc) / (1.0 - s.accept_ncc)
         conf = np.maximum(conf, 0.0)
         conf = np.where(kth >= s.accept_ncc, conf, 0.0)
+        # Normal-vs-viewing-direction gate (computeConfidence,
+        # patch_optimization.cc:133-142): the optimized patch plane's
+        # normal must face the camera (-n . viewdir >= 0.2).
+        normal = _plane_normals(depth, dzx, dzy, ray_world,
+                                r=s.filter_width // 2)
+        dotp = -np.sum(normal * ray_world, axis=-1)
+        conf = np.where(dotp >= 0.2, conf, 0.0)
         accepted = conf > 0.0
         depth = np.where(accepted, depth, 0.0).astype(np.float32)
         self.filled_ratio = float(accepted.mean())
@@ -221,18 +251,41 @@ class DMRecon:
         if s.keep_conf_map:
             ref_view.set_image(f"conf-L{s.scale}", conf.astype(np.float32)[:, :, None])
         if s.keep_dz_map:
-            z = depth * np.asarray(ray_z)
-            dzj, dzi = np.gradient(z)
-            dz = np.stack([dzi, dzj], axis=-1).astype(np.float32)
+            # The optimized patch plane's (dzI, dzJ) — ray-length change
+            # per pixel step (dmrecon.cc:314-315), not a post-hoc gradient.
+            dz = np.stack([dzx, dzy], axis=-1).astype(np.float32)
+            dz[~accepted] = 0.0
             ref_view.set_image(f"dz-L{s.scale}", dz)
         if s.scale != 0:
             lvl_img = np.asarray(_image_at_level_color(ref_img_full, s.scale))
             ref_view.set_image(f"undist-L{s.scale}", lvl_img)
+        if s.write_ply_file:
+            self._write_ply(ref_view, depth, ref_cam)
         self.progress.status = ReconStatus.IDLE
         self.progress.queue_size = 0
         if not s.quiet:
             print(f"View {s.ref_view_nr}: filled {100.0 * self.filled_ratio:.1f}% "
                   f"({len(selected)} neighbors)")
+
+    # ------------------------------------------------------------------
+    def _write_ply(self, ref_view, depth, ref_cam) -> None:
+        """saveReconAsPly (dmrecon.cc:109-116, single_view.cc): triangulate
+        the accepted depth map and write it to <ply_path>/."""
+        import os
+
+        from ..core import depthmap as dmod
+        from ..core import mesh_io
+        from ..core.mesh_tools import mesh_transform
+
+        s = self.settings
+        H, W = depth.shape
+        invproj = ref_cam.inverse_calibration(W, H)
+        mesh, _ = dmod.depthmap_triangulate(depth, invproj, dd_factor=5.0)
+        mesh_transform(mesh, ref_cam.cam_to_world())
+        os.makedirs(s.ply_path or ".", exist_ok=True)
+        out = os.path.join(s.ply_path or ".",
+                           f"view_{s.ref_view_nr:04d}-L{s.scale}.ply")
+        mesh_io.save_mesh(mesh, out)
 
     # ------------------------------------------------------------------
     def _optimize(self, ref, neigh, T, tvec, ray_z, init_depth, dmin, dmax,
@@ -311,7 +364,8 @@ class DMRecon:
             best_s, best_k = switch_selection(best_d)
 
         # PatchMatch-style propagation: all shifts + perturbations of a
-        # round in one dispatch.
+        # round in one dispatch (depth-only, like the reference's first
+        # iterations, patch_optimization.cc doAutoOptimization:176-180).
         shifts = ((0, 1), (0, -1), (1, 0), (-1, 0), (0, 3), (3, 0), (0, -3), (-3, 0))
         for it in range(s.num_propagation_iters):
             self.progress.queue_size = s.num_propagation_iters - it
@@ -342,8 +396,87 @@ class DMRecon:
             cand = best_d * (1.0 + offset * eps)
             best_d, best_s, best_k = best_of(best_d, best_s, best_k, [cand, d_lo, d_hi])
 
+        # --- joint depth+normal (slanted patch) optimization: the batched
+        # equivalent of optimizeDepthAndNormal interleaved every 5th
+        # iteration (patch_optimization.cc:184-200). Patches carry the
+        # reference's (depth, dzI, dzJ) plane; candidates per round are
+        # plane propagations from neighbors (depth extrapolated along the
+        # neighbor's plane) plus slope and depth perturbations, scored by
+        # plane-induced warps. Round budget comes from max_iterations;
+        # early exit when the best mean-NCC improves by less than
+        # min_refine_diff (the reference's convergence rule).
+        from .patch import ncc_score_plane, ncc_score_plane_sel
+
+        def plane_score_fn(ds, zxs, zys):
+            if sel_state:
+                return ncc_score_plane_sel(
+                    ref, neigh, T, tvec, ray_z, ds, zxs, zys,
+                    sel_state["sel"], sel_state["valid"], filter_width=fw)
+            return ncc_score_plane(ref, neigh, T, tvec, ray_z, ds, zxs, zys,
+                                   filter_width=fw, top_k=k)
+
+        # Initialize slopes from the current depth surface (central
+        # differences of ray length per pixel step).
+        best_zx = (jnp.roll(best_d, -1, axis=1) - jnp.roll(best_d, 1, axis=1)) * 0.5
+        best_zy = (jnp.roll(best_d, -1, axis=0) - jnp.roll(best_d, 1, axis=0)) * 0.5
+        slope_cap = 0.5 * best_d / max(fw, 1)  # keep all tap depths > 0
+        best_zx = jnp.clip(best_zx, -slope_cap, slope_cap)
+        best_zy = jnp.clip(best_zy, -slope_cap, slope_cap)
+
+        def plane_best_of(state, cands):
+            bd, bzx, bzy, bs, bk = state
+            ds = jnp.stack([c[0] for c in cands])
+            zxs = jnp.stack([c[1] for c in cands])
+            zys = jnp.stack([c[2] for c in cands])
+            cs, ck = plane_score_fn(ds, zxs, zys)
+            all_s = jnp.concatenate([bs[None], cs])
+            all_k = jnp.concatenate([bk[None], ck])
+            all_d = jnp.concatenate([bd[None], ds])
+            all_zx = jnp.concatenate([bzx[None], zxs])
+            all_zy = jnp.concatenate([bzy[None], zys])
+            pick = jnp.argmax(all_s, axis=0)[None]
+            take = lambda a: jnp.take_along_axis(a, pick, axis=0)[0]
+            return (take(all_d), take(all_zx), take(all_zy),
+                    take(all_s), take(all_k))
+
+        # Rescore the incumbent under the plane kernel (zero-slope plane
+        # == fronto-parallel patch, so scores stay comparable).
+        s_pl, k_pl = plane_score_fn(best_d[None], jnp.zeros_like(best_d)[None],
+                                    jnp.zeros_like(best_d)[None])
+        state = (best_d, jnp.zeros_like(best_d), jnp.zeros_like(best_d),
+                 s_pl[0], k_pl[0])
+        init_cand = (best_d, best_zx, best_zy)
+        n_plane_rounds = max(0, min(
+            (s.max_iterations + 4) // 5,          # every-5th-iteration cadence
+            s.max_iterations - s.num_propagation_iters))
+        prev_mean = None
+        for rnd in range(n_plane_rounds):
+            eps = 0.3 * (0.5 ** rnd)
+            bd, bzx, bzy, _, _ = state
+            step = eps * jnp.maximum(bd, 1e-6) * 0.02
+            cands = []
+            if rnd == 0:
+                cands.append(init_cand)
+            for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+                # Plane propagation: neighbor's plane extrapolated to here.
+                nd = jnp.roll(bd, (dy, dx), axis=(0, 1))
+                nzx = jnp.roll(bzx, (dy, dx), axis=(0, 1))
+                nzy = jnp.roll(bzy, (dy, dx), axis=(0, 1))
+                cands.append((nd + dx * nzx + dy * nzy, nzx, nzy))
+            cands += [
+                (bd, bzx + step, bzy), (bd, bzx - step, bzy),
+                (bd, bzx, bzy + step), (bd, bzx, bzy - step),
+                (bd - step, bzx, bzy), (bd + step, bzx, bzy),
+            ]
+            state = plane_best_of(state, cands)
+            mean_s = float(jnp.mean(jnp.maximum(state[3], 0.0)))
+            if prev_mean is not None and mean_s - prev_mean < s.min_refine_diff:
+                break
+            prev_mean = mean_s
+
+        best_d, best_zx, best_zy, best_s, best_k = state
         best_d = jnp.clip(best_d, dmin * 0.5, dmax * 2.0)
-        return best_d, best_s, best_k
+        return best_d, best_zx, best_zy, best_s, best_k
 
 
 def _image_at_level_color(img: np.ndarray, level: int) -> np.ndarray:

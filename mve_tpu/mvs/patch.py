@@ -241,6 +241,143 @@ def ncc_score(ref_img, neigh_imgs, T, tvec, ray_z, depth,
     return score, kth
 
 
+def _plane_tap_sums(ref_img, neigh_imgs, Tg, tg, gather, ray_z,
+                    depths, dzx, dzy, filter_width: int, lead_shape):
+    """Shared tap loop for slanted-patch (plane) NCC.
+
+    The patch plane is the reference's (depth, dzI, dzJ) parametrization
+    (patch_sampler.cc computePatchPoints): the ray length at patch tap
+    (di, dj) is depth + di*dzI + dj*dzJ, the 3D point lies on that tap's
+    own viewing ray. Each tap warps into the neighbor views with its own
+    plane-induced z-depth — the plane-induced homography sampled at the
+    taps.
+
+    Tg/tg: broadcastable reprojection operators with leading dims
+    lead_shape (e.g. (S, 1) for selected views x candidates or (J, 1)).
+    gather(v0i, u0i): bilinear corner gather returning neighbor values.
+    depths/dzx/dzy: (K, H, W) candidate plane stacks.
+    Returns per-(lead..., K, H, W) NCC plus validity.
+    """
+    K, H, W = depths.shape
+    fw = filter_width
+    r = fw // 2
+    n_taps = fw * fw
+    Hn, Wn = neigh_imgs.shape[-2], neigh_imgs.shape[-1]
+
+    ys, xs = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                          jnp.arange(W, dtype=jnp.float32), indexing="ij")
+    ref_pad = jnp.pad(ref_img, r, mode="edge")
+    rayz_pad = jnp.pad(ray_z, r, mode="edge")
+
+    shape = tuple(lead_shape) + (K, H, W)
+    sum_r = jnp.zeros((H, W))
+    sum_rr = jnp.zeros((H, W))
+    sum_n = jnp.zeros(shape)
+    sum_nn = jnp.zeros(shape)
+    sum_rn = jnp.zeros(shape)
+    valid = jnp.ones(shape, bool)
+
+    for (dy, dx) in make_patch_offsets(fw):
+        rv = jax.lax.dynamic_slice(ref_pad, (r + dy, r + dx), (H, W))
+        rz = jax.lax.dynamic_slice(rayz_pad, (r + dy, r + dx), (H, W))
+        sum_r = sum_r + rv
+        sum_rr = sum_rr + rv * rv
+        L = depths + dx * dzx + dy * dzy      # (K, H, W) tap ray length
+        pos_ok = L > 0.0                      # patch_sampler.cc:285-288
+        z = L * rz
+        qx = xs + dx + 0.5
+        qy = ys + dy + 0.5
+        hx = (Tg[..., 0, 0] * qx + Tg[..., 0, 1] * qy + Tg[..., 0, 2]) * z + tg[..., 0]
+        hy = (Tg[..., 1, 0] * qx + Tg[..., 1, 1] * qy + Tg[..., 1, 2]) * z + tg[..., 1]
+        hz = (Tg[..., 2, 0] * qx + Tg[..., 2, 1] * qy + Tg[..., 2, 2]) * z + tg[..., 2]
+        hz_safe = jnp.where(jnp.abs(hz) < 1e-20, 1e-20, hz)
+        u = hx / hz_safe - 0.5
+        v = hy / hz_safe - 0.5
+        inb = (u >= 0) & (u <= Wn - 1) & (v >= 0) & (v <= Hn - 1) & (hz > 0)
+        valid = valid & inb & pos_ok
+        u0 = jnp.clip(jnp.floor(u), 0, Wn - 2)
+        v0 = jnp.clip(jnp.floor(v), 0, Hn - 2)
+        fu = jnp.clip(u - u0, 0.0, 1.0)
+        fv = jnp.clip(v - v0, 0.0, 1.0)
+        u0i = u0.astype(jnp.int32)
+        v0i = v0.astype(jnp.int32)
+        p00 = gather(v0i, u0i)
+        p01 = gather(v0i, u0i + 1)
+        p10 = gather(v0i + 1, u0i)
+        p11 = gather(v0i + 1, u0i + 1)
+        nv = (p00 * (1 - fu) * (1 - fv) + p01 * fu * (1 - fv)
+              + p10 * (1 - fu) * fv + p11 * fu * fv)
+        sum_n = sum_n + nv
+        sum_nn = sum_nn + nv * nv
+        sum_rn = sum_rn + rv * nv
+
+    inv_n = 1.0 / n_taps
+    mean_r = sum_r * inv_n
+    mean_n = sum_n * inv_n
+    var_r = sum_rr * inv_n - mean_r * mean_r
+    var_n = sum_nn * inv_n - mean_n * mean_n
+    cov = sum_rn * inv_n - mean_r * mean_n
+    denom = jnp.sqrt(jnp.maximum(var_r * var_n, 1e-12))
+    ncc = jnp.where(valid, cov / denom, -1.0)
+    return ncc, valid
+
+
+@functools.partial(jax.jit, static_argnames=("filter_width", "top_k"))
+def ncc_score_plane(ref_img, neigh_imgs, T, tvec, ray_z, depths, dzx, dzy,
+                    filter_width: int = 5, top_k: int = 4):
+    """Slanted-patch NCC over ALL views, top-k combined.
+
+    depths/dzx/dzy: (K, H, W) plane candidates (ray length + per-pixel
+    ray-length gradients, the reference's depth/dzI/dzJ). Returns
+    (score (K, H, W), kth (K, H, W))."""
+    J = neigh_imgs.shape[0]
+    jidx = jnp.arange(J)[:, None, None, None]
+
+    def gather(v0i, u0i):
+        return neigh_imgs[jidx, v0i, u0i]
+
+    ncc, valid = _plane_tap_sums(
+        ref_img, neigh_imgs, T[:, None, None, None],
+        tvec[:, None, None, None], gather, ray_z, depths, dzx, dzy,
+        filter_width, (J,))
+    k = min(top_k, J)
+    top = jax.lax.top_k(jnp.moveaxis(ncc, 0, -1), k)[0]
+    n_valid = jnp.sum(valid, axis=0)
+    score = jnp.mean(top, axis=-1)
+    kth = top[..., -1]
+    score = jnp.where(n_valid >= k, score, -1.0)
+    kth = jnp.where(n_valid >= k, kth, -1.0)
+    return score, kth
+
+
+@functools.partial(jax.jit, static_argnames=("filter_width",))
+def ncc_score_plane_sel(ref_img, neigh_imgs, T, tvec, ray_z, depths,
+                        dzx, dzy, sel, sel_valid, filter_width: int = 5):
+    """Slanted-patch NCC over per-pixel SELECTED views.
+
+    sel: (S, H, W) int32; sel_valid: (S, H, W); depths/dzx/dzy: (K, H, W).
+    Returns (score (K, H, W), kth (K, H, W)) like ncc_score_box_sel."""
+    S = sel.shape[0]
+    Tg = T[sel]        # (S, H, W, 3, 3)
+    tg = tvec[sel]     # (S, H, W, 3)
+    jidx = sel[:, None]
+
+    def gather(v0i, u0i):
+        return neigh_imgs[jidx, v0i, u0i]
+
+    ncc, valid = _plane_tap_sums(
+        ref_img, neigh_imgs, Tg[:, None], tg[:, None], gather, ray_z,
+        depths, dzx, dzy, filter_width, (S,))
+    ok = valid & sel_valid[:, None]
+    ncc = jnp.where(ok, ncc, -1.0)
+    n_ok = jnp.sum(ok, axis=0)
+    score = jnp.sum(jnp.where(ok, ncc, 0.0), axis=0) / jnp.maximum(n_ok, 1)
+    kth = jnp.min(jnp.where(ok, ncc, 1.0), axis=0)
+    score = jnp.where(n_ok >= S, score, -1.0)
+    kth = jnp.where(n_ok >= S, kth, -1.0)
+    return score, kth
+
+
 def _warp_bilinear(neigh_imgs, T, tvec, z, qx, qy):
     """Warp reference pixels into neighbor views and gather bilinearly.
 

@@ -15,13 +15,21 @@ class Settings:
     min_ncc: float = 0.3
     min_parallax: float = 10.0     # degrees, global view selection
     accept_ncc: float = 0.6
+    # min_refine_diff / max_iterations bound the joint depth+normal
+    # rounds (patch_optimization.cc:184-218 convergence + budget).
     min_refine_diff: float = 0.001
     max_iterations: int = 20
     nr_recon_neighbors: int = 4
     global_vs_max: int = 20
     scale: int = 0                 # pyramid level
-    use_color_scale: bool = True
+    # NOTE: the reference's useColorScale knob (settings.h:40) has no
+    # equivalent here by design — its per-view multiplicative color scale
+    # compensates exposure differences inside an SSD-style objective,
+    # while this implementation scores pure NCC, which is invariant to
+    # affine intensity changes (a strictly stronger correction that
+    # cannot be disabled).
     write_ply_file: bool = False
+    ply_path: str = ""             # destination dir for write_ply_file
     aabb_min: np.ndarray = dataclasses.field(
         default_factory=lambda: np.full(3, -np.finfo(np.float32).max))
     aabb_max: np.ndarray = dataclasses.field(

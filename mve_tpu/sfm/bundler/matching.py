@@ -31,6 +31,7 @@ class MatchingOptions:
     min_feature_matches: int = 24
     min_matching_inliers: int = 12
     use_lowres_matching: bool = False
+    use_cascade_hashing: bool = False  # sfmrecon.cc:141-153 matcher select
     max_num_pairs_per_view: int = 0  # 0 = all pairs; >0 = video mode window
     ransac_opts: RansacOptions = dataclasses.field(
         default_factory=lambda: RansacOptions(max_iterations=1000, threshold=0.0015))
@@ -43,9 +44,11 @@ class Matching:
         self.opts = options or MatchingOptions()
 
     def two_view_matching(self, vp1: Viewport, vp2: Viewport,
-                          rng: np.random.RandomState) -> Optional[np.ndarray]:
+                          rng: np.random.RandomState,
+                          cascade_pair=None) -> Optional[np.ndarray]:
         """Returns (M, 2) verified matches or None (bundler_matching.cc
-        two_view_matching)."""
+        two_view_matching). cascade_pair: optional callable returning the
+        SIFT-block matches via the cascade-hashing matcher."""
         opts = self.opts
         if opts.use_lowres_matching:
             n = opts.num_lowres_features
@@ -54,9 +57,12 @@ class Matching:
                 M.MatchingOptions(lowe_ratio_threshold=opts.lowe_ratio))
             if len(lowres) < opts.min_lowres_matches:
                 return None
-        pairs = M.match_pair(
-            vp1.descriptors, vp2.descriptors,
-            M.MatchingOptions(lowe_ratio_threshold=opts.lowe_ratio))
+        if cascade_pair is not None:
+            pairs = cascade_pair()
+        else:
+            pairs = M.match_pair(
+                vp1.descriptors, vp2.descriptors,
+                M.MatchingOptions(lowe_ratio_threshold=opts.lowe_ratio))
         # SURF features matched separately, combined with index offsets
         # past the SIFT block (matching.cc combine_results).
         if len(vp1.surf_descriptors) and len(vp2.surf_descriptors):
@@ -91,9 +97,26 @@ class Matching:
                 if opts.max_num_pairs_per_view > 0 and v1 - v2 > opts.max_num_pairs_per_view:
                     continue  # video mode: only K previous frames
                 pairs.append((v2, v1))
+        cascade = None
+        if opts.use_cascade_hashing:
+            from ..cascade_hashing import CascadeHashing
+
+            cascade = CascadeHashing()
+            cascade.init([vp.descriptors for vp in viewports])
         result = []
         for (a, b) in pairs:
-            matches = self.two_view_matching(viewports[a], viewports[b], rng)
+            cascade_pair = None
+            if cascade is not None:
+                mopts = M.MatchingOptions(lowe_ratio_threshold=opts.lowe_ratio)
+
+                def cascade_pair(a=a, b=b, mopts=mopts):
+                    res = cascade.pairwise_match(a, b, mopts)
+                    i1 = np.nonzero(res.matches_1_2 >= 0)[0]
+                    return np.stack(
+                        [i1, res.matches_1_2[i1]], axis=1).astype(np.int32) \
+                        if len(i1) else np.zeros((0, 2), np.int32)
+            matches = self.two_view_matching(viewports[a], viewports[b], rng,
+                                             cascade_pair=cascade_pair)
             if matches is None:
                 continue
             result.append(TwoViewMatching(a, b, matches))

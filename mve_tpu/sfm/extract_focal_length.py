@@ -174,6 +174,13 @@ SENSOR_WIDTH_DB = [
 
 
 def lookup_sensor_width(maker: str, model: str) -> Optional[float]:
+    """Exact maker/model lookup first (the reference's 554-entry
+    camera_database.cc), then the family-substring fallback above."""
+    from .camera_database import lookup
+
+    exact = lookup(maker, model)
+    if exact is not None:
+        return exact.sensor_width_mm
     maker_l = maker.lower()
     model_l = model.lower()
     for m, mod, width in SENSOR_WIDTH_DB:

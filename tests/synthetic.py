@@ -106,6 +106,74 @@ def expected_ray_depth(cam: CameraInfo, width: int, height: int) -> np.ndarray:
     return tt * np.linalg.norm(dirs_world, axis=-1)
 
 
+def _tilted_plane_hits(cam: CameraInfo, width: int, height: int, slope: float):
+    """Ray/tilted-plane intersections for plane z = PLANE_Z + slope * x.
+
+    Returns (px, py, ray_len): world xy hit coordinates and ray-length
+    depth per pixel."""
+    Ki = cam.inverse_calibration(width, height)
+    R = cam.rot.astype(np.float64)
+    t = cam.trans.astype(np.float64)
+    center = -R.T @ t
+    ys, xs = np.mgrid[0:height, 0:width].astype(np.float64)
+    pix = np.stack([xs + 0.5, ys + 0.5, np.ones_like(xs)], axis=-1)
+    dirs_world = (pix @ Ki.T) @ R
+    n = np.array([-slope, 0.0, 1.0]) / np.sqrt(1.0 + slope * slope)
+    p0 = np.array([0.0, 0.0, PLANE_Z])
+    denom = dirs_world @ n
+    tt = ((p0 - center) @ n) / denom
+    px = center[0] + tt * dirs_world[..., 0]
+    py = center[1] + tt * dirs_world[..., 1]
+    return px, py, tt * np.linalg.norm(dirs_world, axis=-1)
+
+
+def expected_tilted_ray_depth(cam: CameraInfo, width: int, height: int,
+                              slope: float) -> np.ndarray:
+    return _tilted_plane_hits(cam, width, height, slope)[2]
+
+
+def make_tilted_plane_scene(path: str, slope: float = 0.6, n_views=5,
+                            width=96, height=72, n_features=60, seed=0):
+    """Scene whose surface is a strongly oblique plane z = PLANE_Z +
+    slope * x — the regime where fronto-parallel patches underperform and
+    the joint depth+normal optimization must win."""
+    tex = make_texture(seed=seed)
+    cams = make_cameras(n_views)
+    scene = Scene.create(path)
+    for i, cam in enumerate(cams):
+        view = View.create(scene.view_dir_for_id(i), i)
+        view.set_camera(cam)
+        px, py, _ = _tilted_plane_hits(cam, width, height, slope)
+        u = (px + PLANE_EXTENT) / (2 * PLANE_EXTENT)
+        v = (py + PLANE_EXTENT) / (2 * PLANE_EXTENT)
+        gray = _sample_texture(tex, np.clip(u, 0, 1), np.clip(v, 0, 1))
+        img = (gray * 255).astype(np.uint8)
+        view.set_image("undistorted", np.stack([img] * 3, axis=-1))
+        scene.add_view(view)
+    scene.save_views()
+
+    bundle = Bundle()
+    bundle.cameras = cams
+    side = int(np.ceil(np.sqrt(n_features)))
+    gx, gy = np.meshgrid(np.linspace(-0.8, 0.8, side), np.linspace(-0.8, 0.8, side))
+    xs = gx.reshape(-1) * PLANE_EXTENT * 0.5
+    ys = gy.reshape(-1) * PLANE_EXTENT * 0.5
+    pts = np.stack([xs, ys, PLANE_Z + slope * xs], axis=1)[:n_features]
+    for pi, p in enumerate(pts):
+        refs = []
+        for vi, cam in enumerate(cams):
+            pc = cam.rot.astype(np.float64) @ p + cam.trans
+            if pc[2] <= 0:
+                continue
+            uv = pc[:2] / pc[2] * cam.flen
+            refs.append(Feature2D(vi, pi, uv.astype(np.float32)))
+        bundle.features.append(Feature3D(
+            p.astype(np.float32), np.array([0.5, 0.5, 0.5], np.float32), refs))
+    scene.set_bundle(bundle)
+    scene.save_scene()
+    return scene
+
+
 NEAR_Z = 3.5
 NEAR_BOUNDS = (-1.6, 0.4, -1.2, 1.0)  # x0, x1, y0, y1 of the near patch
 

@@ -47,3 +47,27 @@ def test_batched_matches_sequential():
         # almost entirely and inlier sets overlap strongly.
         overlap = len(s & b) / max(len(s | b), 1)
         assert overlap > 0.9, f"pair {key}: overlap {overlap:.2f}"
+
+
+def test_cascade_hashing_matcher_selection():
+    """bundler.Matching with use_cascade_hashing finds (nearly) the same
+    verified pairs as the exhaustive path (sfmrecon.cc:141-153 matcher
+    selection wired through BundlerMatchingOptions)."""
+    vps = _viewports()
+    opts = BundlerMatchingOptions(
+        ransac_opts=RansacOptions(max_iterations=256, threshold=0.01))
+    exh = Matching(opts).compute(vps, seed=0)
+    import dataclasses
+    copts = dataclasses.replace(opts, use_cascade_hashing=True)
+    cas = Matching(copts).compute(vps, seed=0)
+    exh_pairs = {(m.view_1_id, m.view_2_id): m.matches for m in exh}
+    cas_pairs = {(m.view_1_id, m.view_2_id): m.matches for m in cas}
+    assert set(cas_pairs) == set(exh_pairs)
+    for key in exh_pairs:
+        s = set(map(tuple, exh_pairs[key]))
+        c = set(map(tuple, cas_pairs[key]))
+        overlap = len(s & c) / max(len(s | c), 1)
+        # The LSH cascade re-ranks top-10 hamming candidates exactly; on
+        # well-separated descriptors it recovers almost all exhaustive
+        # matches.
+        assert overlap > 0.8, f"pair {key}: overlap {overlap:.2f}"

@@ -121,3 +121,34 @@ def test_focal_from_db():
     flen, method = extract_focal_length(info)
     assert method == FocalLengthMethod.FROM_EXIF_DB
     np.testing.assert_allclose(flen, 35.0 / 36.0)
+
+
+def test_camera_database_exact_lookup():
+    """Exact maker/model sensor lookup (camera_database.cc:23-48
+    simplification + full-string match), with >500 transcribed entries."""
+    from mve_tpu.sfm.camera_database import lookup, simplify_string, CAMERA_MODELS
+
+    assert len(CAMERA_MODELS) > 500
+    # Simplification: non-alphanumeric runs -> single space, uppercase.
+    assert simplify_string("Asahi Optical Co.,Ltd.  PENTAX Optio330RS") == \
+        "ASAHI OPTICAL CO LTD PENTAX OPTIO330RS"
+    m = lookup("Canon", "Canon EOS 5D Mark II")
+    assert m is not None and abs(m.sensor_width_mm - 36.0) < 0.5
+    m = lookup("NIKON CORPORATION", "NIKON D90")
+    assert m is not None and 23.0 < m.sensor_width_mm < 24.2
+    assert lookup("ACME", "Nonexistent 9000") is None
+
+
+def test_extract_focal_length_exact_db():
+    """EXIF with focal-in-mm + known body resolves through the exact DB."""
+    from mve_tpu.core.image_exif import ExifInfo
+    from mve_tpu.sfm.extract_focal_length import (FocalLengthMethod,
+                                                  extract_focal_length)
+
+    info = ExifInfo()
+    info.camera_maker = "Canon"
+    info.camera_model = "Canon EOS 40D"
+    info.focal_length = 22.2  # equals sensor width -> normalized 1.0
+    flen, method = extract_focal_length(info)
+    assert method is FocalLengthMethod.FROM_EXIF_DB
+    assert abs(flen - 1.0) < 1e-6

@@ -54,6 +54,47 @@ def test_dmrecon_scale_level(plane_scene):
     assert np.median(rel_err) < 0.03
 
 
+def test_dmrecon_slanted_patches(tmp_path):
+    """Joint depth+normal optimization on a strongly oblique plane
+    (patch_optimization.cc optimizeDepthAndNormal): depths stay accurate
+    and the dz-L embedding carries the optimized patch plane's (dzI, dzJ),
+    matching the analytic surface slope."""
+    from tests.synthetic import make_tilted_plane_scene, expected_tilted_ray_depth
+
+    slope = 0.7
+    path = str(tmp_path / "scene")
+    make_tilted_plane_scene(path, slope=slope, n_views=5, width=96, height=72)
+    scene = Scene(path)
+    settings = Settings(ref_view_nr=0, scale=0,
+                        num_sweep_planes=16, num_propagation_iters=4)
+    recon = DMRecon(scene, settings)
+    recon.start()
+
+    view = scene.get_view_by_id(0)
+    depth = view.get_image("depth-L0")[:, :, 0]
+    dz = view.get_image("dz-L0")
+    assert recon.filled_ratio > 0.5, f"filled only {recon.filled_ratio:.2f}"
+
+    w, h = view.get_image_size("undistorted")
+    expected = expected_tilted_ray_depth(view.camera, w, h, slope)
+    valid = depth > 0
+    rel_err = np.abs(depth[valid] - expected[valid]) / expected[valid]
+    assert np.median(rel_err) < 0.02, f"median depth error {np.median(rel_err):.4f}"
+
+    # dz-L holds the patch plane's per-pixel ray-length slope (dzI, dzJ)
+    # (dmrecon.cc:314-315). Compare against the analytic slope away from
+    # the image border.
+    dz_expect = np.zeros_like(expected)
+    dz_expect[:, 1:-1] = (expected[:, 2:] - expected[:, :-2]) * 0.5
+    m = valid.copy()
+    m[:8] = m[-8:] = False
+    m[:, :8] = m[:, -8:] = False
+    err = np.abs(dz[:, :, 0][m] - dz_expect[m])
+    assert np.median(err) < 0.35 * np.median(np.abs(dz_expect[m])) + 1e-4, (
+        f"dzI median err {np.median(err):.5f} "
+        f"vs |dzI| {np.median(np.abs(dz_expect[m])):.5f}")
+
+
 def test_progress_tracking(tmp_path):
     """DMRecon updates its Progress struct and honors cancellation
     (reference: dmrecon/progress.h)."""
