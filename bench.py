@@ -142,7 +142,7 @@ def run_measurement():
         "value": round(stats["total_s"], 3),
         "unit": "s",
         "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
-        "detail": {k: (round(v, 3) if isinstance(v, float) else v)
+        "detail": {k: (float(f"{v:.4g}") if isinstance(v, float) else v)
                    for k, v in stats.items()},
     }
     print(json.dumps(result))

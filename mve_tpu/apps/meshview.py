@@ -24,21 +24,24 @@ from ..render import (Camera, render_mesh, overlay_points, overlay_lines,
                       fit_view_to_points)
 
 
-def _gather_scene_overlays(scene_path: str, frustum_size: float):
+def _gather_scene_overlays(scene_path: str):
+    """Load the scene once; return (cameras, sfm points, colors, scene)."""
     scene = Scene()
     scene.load_scene(scene_path)
-    segs = []
+    cams = [v.camera for v in scene.get_views()
+            if v is not None and v.camera.valid]
     pts = np.zeros((0, 3))
     cols = np.zeros((0, 3))
-    for view in scene.get_views():
-        if view is None or not view.camera.valid:
-            continue
-        segs.append(frustum_segments(view.camera, size=frustum_size))
     if scene.has_bundle():
         bundle = scene.get_bundle()
         pts = bundle.feature_positions()
         cols = bundle.feature_colors()[:, :3]
-    return (np.concatenate(segs) if segs else np.zeros((0, 2, 3))), pts, cols, scene
+    return cams, pts, cols, scene
+
+
+def _frusta(cams, size: float) -> np.ndarray:
+    segs = [frustum_segments(c, size=size) for c in cams]
+    return np.concatenate(segs) if segs else np.zeros((0, 2, 3))
 
 
 def main(argv=None) -> int:
@@ -73,36 +76,51 @@ def main(argv=None) -> int:
     sfm_pts = np.zeros((0, 3))
     sfm_cols = np.zeros((0, 3))
     if args.scene:
-        # auto frustum size from content extent (pass 1 with size 1)
-        segs, sfm_pts, sfm_cols, scene = _gather_scene_overlays(
-            args.scene, args.frustum_size or 1.0)
+        cams, sfm_pts, sfm_cols, scene = _gather_scene_overlays(args.scene)
         if len(sfm_pts):
             all_pts.append(sfm_pts)
+        size = args.frustum_size
+        if not size:
+            # Auto frustum size from the content extent (camera apexes +
+            # mesh + SfM points), then recompute the segments — and the
+            # fit points — with the chosen size.
+            probe = all_pts + [np.asarray([c.camera_pos() for c in cams])] \
+                if cams else all_pts
+            if probe:
+                extent = np.concatenate(probe)
+                size = 0.05 * float(np.linalg.norm(
+                    extent.max(0) - extent.min(0)) or 1.0)
+            else:
+                size = 1.0
+        segs = _frusta(cams, size)
         if len(segs):
             all_pts.append(segs.reshape(-1, 3))
-        if not args.frustum_size and len(all_pts):
-            extent = np.concatenate(all_pts)
-            size = 0.05 * float(np.linalg.norm(
-                extent.max(0) - extent.min(0)) or 1.0)
-            segs, sfm_pts, sfm_cols, scene = _gather_scene_overlays(
-                args.scene, size)
 
     if not all_pts:
         print("Nothing to render.", file=sys.stderr)
         return 1
     center, dist = fit_view_to_points(np.concatenate(all_pts), args.fov)
 
+    fov = args.fov
+    if args.view_id >= 0:
+        if scene is None:
+            p.error("--view-id requires --scene")
+        view = scene.get_view_by_id(args.view_id)
+        if view is None or not view.camera.valid:
+            p.error(f"--view-id {args.view_id}: no such view or camera invalid")
+        # Match the view's actual framing: vertical FoV from the
+        # normalized focal length (flen normalized by the larger dim).
+        fov = float(np.rad2deg(2.0 * np.arctan2(
+            args.height / max(args.width, args.height), 2.0 * view.camera.flen)))
+
     cam = Camera()
     cam.width, cam.height = args.width, args.height
     cam.z_far = dist * 100.0
-    cam.set_fov(args.fov)
+    cam.set_fov(fov)
 
     def camera_poses():
         if args.view_id >= 0:
-            if scene is None:
-                raise SystemExit("--view-id requires --scene")
-            view = scene.get_view_by_id(args.view_id)
-            ci = view.camera
+            ci = scene.get_view_by_id(args.view_id).camera
             yield ci.camera_pos(), ci.viewing_direction(), -ci.cam_to_world()[:3, 1]
         elif args.turntable > 0:
             yield from turntable_views(center, dist, args.turntable,

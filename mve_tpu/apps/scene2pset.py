@@ -10,6 +10,7 @@ sets FSSR mode: depth-L<s>, undist-L<s>, normals+scale+confidence on.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import numpy as np
@@ -27,13 +28,27 @@ def scene_to_pointset(scene_path: str, output_path: str | None = None, *,
                       with_conf: bool = False, poisson_normals: bool = False,
                       scale_factor: float = 2.5, dd_factor: float = 5.0,
                       min_valid_fraction: float = 0.0, view_ids=None,
-                      aabb=None, verbose: bool = True) -> TriangleMesh:
+                      aabb=None, process_id: int = 0, num_processes: int = 1,
+                      verbose: bool = True) -> TriangleMesh:
+    """With num_processes > 1 the views partition across processes (the
+    distributed analog of the reference's OpenMP view loop,
+    scene2pset.cc:264); each process writes its own output PLY and
+    fssrecon consumes all of them as multiple inputs."""
     scene = Scene(scene_path)
     meshes = []
+    candidates = [i for i, v in enumerate(scene.get_views()) if v is not None]
+    if num_processes > 1:
+        from ..parallel.multihost import my_shard
+
+        mine = set(my_shard(candidates, process_id, num_processes))
+    else:
+        mine = None
     for i, view in enumerate(scene.get_views()):
         if view is None or not view.camera.valid:
             continue
         if view_ids is not None and i not in view_ids:
+            continue
+        if mine is not None and i not in mine:
             continue
         dm = view.get_float_image(dmname)
         if dm is None:
@@ -115,6 +130,14 @@ def main(argv=None) -> int:
     p.add_argument("-v", "--views", default="", help="View IDs [all]")
     p.add_argument("-F", "--fssr", type=int, default=None, metavar="SCALE",
                    help="FSSR mode: sets -nsc, depth/undist at level SCALE")
+    p.add_argument("--process-id", type=int,
+                   default=int(os.environ.get("JAX_PROCESS_ID", 0)),
+                   help="This process's index for multi-host view sharding")
+    p.add_argument("--num-processes", type=int,
+                   default=int(os.environ.get("JAX_NUM_PROCESSES", 1)),
+                   help="Total processes sharing the view list (give each "
+                        "process its own output file; fssrecon accepts "
+                        "multiple inputs)")
     args = p.parse_args(argv)
 
     dmname, image = args.depthmap, args.image
@@ -129,7 +152,8 @@ def main(argv=None) -> int:
         args.scene, args.output, dmname=dmname, image=image,
         with_normals=with_normals, with_scale=with_scale, with_conf=with_conf,
         poisson_normals=args.poisson_normals, scale_factor=args.scale_factor,
-        min_valid_fraction=args.min_fraction, view_ids=ids)
+        min_valid_fraction=args.min_fraction, view_ids=ids,
+        process_id=args.process_id, num_processes=args.num_processes)
     return 0
 
 

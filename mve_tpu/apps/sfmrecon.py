@@ -29,10 +29,56 @@ RAND_SEED_MATCHING = 0
 RAND_SEED_SFM = 1
 
 
+def _save_features_part(path: str, idxs, viewports) -> None:
+    """Persist one process's freshly-computed viewport features."""
+    arrays = {"idxs": np.asarray(idxs, np.int64)}
+    for i in idxs:
+        vp = viewports[i]
+        arrays[f"v{i}_positions"] = vp.positions
+        arrays[f"v{i}_colors"] = vp.colors
+        arrays[f"v{i}_descriptors"] = vp.descriptors
+        arrays[f"v{i}_surf"] = vp.surf_descriptors
+        arrays[f"v{i}_meta"] = np.asarray(
+            [vp.num_sift, vp.width, vp.height], np.int64)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrays)
+    os.replace(tmp, path)  # atomic publish: waiters never see partials
+
+
+def _load_features_part(path: str, viewports) -> None:
+    data = np.load(path)
+    for i in data["idxs"]:
+        i = int(i)
+        vp = viewports[i]
+        vp.positions = data[f"v{i}_positions"]
+        vp.colors = data[f"v{i}_colors"]
+        vp.descriptors = data[f"v{i}_descriptors"]
+        vp.surf_descriptors = data[f"v{i}_surf"]
+        meta = data[f"v{i}_meta"]
+        vp.num_sift, vp.width, vp.height = (int(meta[0]), int(meta[1]),
+                                            int(meta[2]))
+        vp.track_ids = np.full(len(vp.positions), -1, np.int32)
+
+
+def _wait_for_files(paths, timeout_s: float = 3600.0) -> None:
+    import time
+
+    t0 = time.time()
+    while True:
+        if all(os.path.isfile(p) for p in paths):
+            return
+        if time.time() - t0 > timeout_s:
+            missing = [p for p in paths if not os.path.isfile(p)]
+            raise RuntimeError(f"Timed out waiting for {missing}")
+        time.sleep(1.0)
+
+
 def sfm_reconstruct(scene_path: str, *, max_pixels: int = 6_000_000,
                     initial_pair=(-1, -1), video_matching: int = 0,
                     use_lowres_matching: bool = False,
                     use_cascade_hashing: bool = False,
+                    process_id: int = 0, num_processes: int = 1,
                     fixed_intrinsics: bool = False,
                     intrinsics_from_views: bool = False,
                     always_full_ba: bool = False,
@@ -57,14 +103,29 @@ def sfm_reconstruct(scene_path: str, *, max_pixels: int = 6_000_000,
         viewports, pairwise_matching = load_prebundle(prebundle_path)
         # Descriptor-free viewports; matching is already done.
     else:
+        from ..parallel.multihost import my_shard
+
         viewports = [Viewport() for _ in views]
         if verbose:
             print("Computing image features...")
         features = Features(FeaturesOptions(max_image_size=max_pixels, verbose=verbose))
         imgs, idxs = [], []
+        all_idxs = []
         for i, view in enumerate(views):
             if view is None:
                 continue
+            name = original_name if view.has_image(original_name) else undistorted_name
+            if not view.has_image(name):
+                continue
+            all_idxs.append(i)
+        # Views this process detects features for (multi-process: the
+        # view list partitions across processes like the reference's
+        # OpenMP-dynamic view loop partitions across threads,
+        # bundler_features.cc:40).
+        mine = (my_shard(all_idxs, process_id, num_processes)
+                if num_processes > 1 else all_idxs)
+        for i in mine:
+            view = views[i]
             name = original_name if view.has_image(original_name) else undistorted_name
             img = view.get_image(name)
             if img is None:
@@ -77,6 +138,18 @@ def sfm_reconstruct(scene_path: str, *, max_pixels: int = 6_000_000,
         if verbose:
             print(f"Computed features in {timer.get_elapsed()}ms.")
 
+        if num_processes > 1:
+            # Exchange features over shared storage, then shard the pair
+            # list; process 0 merges verified matches into prebundle.sfm.
+            part = os.path.join(scene_path, f"features.part{process_id}.npz")
+            _save_features_part(part, idxs, viewports)
+            parts = [os.path.join(scene_path, f"features.part{k}.npz")
+                     for k in range(num_processes)]
+            _wait_for_files(parts)
+            for k, pth in enumerate(parts):
+                if k != process_id:
+                    _load_features_part(pth, viewports)
+
         timer.reset()
         if verbose:
             print("Performing feature matching...")
@@ -85,16 +158,59 @@ def sfm_reconstruct(scene_path: str, *, max_pixels: int = 6_000_000,
             use_cascade_hashing=use_cascade_hashing,
             max_num_pairs_per_view=video_matching,
             verbose=verbose)
-        if use_cascade_hashing:
+        from ..sfm.bundler.matching_batched import BatchedMatching
+
+        if num_processes > 1:
+            # Pair list sharded across processes (the distributed analog
+            # of OpenMP-dynamic over pairs, bundler_matching.cc:74);
+            # verified matches merge into the prebundle on process 0.
+            V = len(viewports)
+            all_pairs = [(v2, v1) for v1 in range(V) for v2 in range(v1)
+                         if not (video_matching > 0 and v1 - v2 > video_matching)]
+            my_pairs = my_shard(all_pairs, process_id, num_processes)
+            matches = BatchedMatching(mopts).compute(
+                viewports, seed=RAND_SEED_MATCHING, pairs=my_pairs)
+            mpart = os.path.join(scene_path, f"matches.part{process_id}.npz")
+            tmp = mpart + ".tmp"
+            with open(tmp, "wb") as f:
+                np.savez(f, n=len(matches),
+                         ids=np.asarray([[m.view_1_id, m.view_2_id]
+                                         for m in matches], np.int64),
+                         **{f"m{j}": m.matches for j, m in enumerate(matches)})
+            os.replace(tmp, mpart)
+            if process_id != 0:
+                if verbose:
+                    print(f"Process {process_id}: matching shard done.")
+                return None
+            mparts = [os.path.join(scene_path, f"matches.part{k}.npz")
+                      for k in range(num_processes)]
+            _wait_for_files(mparts)
+            from ..sfm.bundler.common import TwoViewMatching
+
+            pairwise_matching = []
+            for pth in mparts:
+                data = np.load(pth)
+                ids = data["ids"].reshape(-1, 2)
+                for j in range(int(data["n"])):
+                    pairwise_matching.append(TwoViewMatching(
+                        int(ids[j, 0]), int(ids[j, 1]), data[f"m{j}"]))
+            pairwise_matching.sort(key=lambda m: (m.view_1_id, m.view_2_id))
+            for pth in mparts + [os.path.join(
+                    scene_path, f"features.part{k}.npz")
+                    for k in range(num_processes)]:
+                try:
+                    os.remove(pth)
+                except OSError:
+                    pass
+        elif use_cascade_hashing:
             # Matcher selection (sfmrecon.cc:141-153): the LSH cascade
             # runs per pair; the default path batches all pairs into a
             # few MXU dispatches.
-            matcher = Matching(mopts)
+            pairwise_matching = Matching(mopts).compute(
+                viewports, seed=RAND_SEED_MATCHING)
         else:
-            from ..sfm.bundler.matching_batched import BatchedMatching
-
-            matcher = BatchedMatching(mopts)
-        pairwise_matching = matcher.compute(viewports, seed=RAND_SEED_MATCHING)
+            pairwise_matching = BatchedMatching(mopts).compute(
+                viewports, seed=RAND_SEED_MATCHING)
         if verbose:
             print(f"Matching took {timer.get_elapsed()}ms; "
                   f"{len(pairwise_matching)} connected pairs.")
@@ -120,6 +236,17 @@ def sfm_reconstruct(scene_path: str, *, max_pixels: int = 6_000_000,
     opts.incremental_opts.new_track_error_threshold = new_track_error_thres
     opts.incremental_opts.ba_fixed_intrinsics = fixed_intrinsics
     opts.incremental_opts.verbose_output = verbose
+    # Multi-chip: shard BA observations over all local devices (psum
+    # collectives over ICI). A 1-device mesh is the identity, so this is
+    # only engaged when real parallel hardware is present.
+    import jax
+
+    if jax.device_count() > 1:
+        from ..parallel.mesh import get_mesh
+
+        opts.incremental_opts.ba_mesh = get_mesh()
+        if verbose:
+            print(f"BA: sharding observations over {jax.device_count()} devices.")
     incremental = run_incremental_sfm(viewports, pairwise_matching, opts)
     if verbose:
         print(f"SfM reconstruction took {timer.get_elapsed()}ms.")
@@ -176,6 +303,13 @@ def main(argv=None) -> int:
     p.add_argument("--track-error-thres", type=float, default=10.0)
     p.add_argument("--new-track-error-thres", type=float, default=0.01)
     p.add_argument("--min-views-per-track", type=int, default=3)
+    p.add_argument("--process-id", type=int,
+                   default=int(os.environ.get("JAX_PROCESS_ID", 0)),
+                   help="This process's index for multi-host feature/"
+                        "matching sharding")
+    p.add_argument("--num-processes", type=int,
+                   default=int(os.environ.get("JAX_NUM_PROCESSES", 1)),
+                   help="Total processes sharing features + matching")
     args = p.parse_args(argv)
     pair = tuple(int(x) for x in args.initial_pair.split(","))
     sfm_reconstruct(
@@ -183,6 +317,7 @@ def main(argv=None) -> int:
         video_matching=args.video_matching,
         use_lowres_matching=args.lowres_matching,
         use_cascade_hashing=args.cascade_hashing,
+        process_id=args.process_id, num_processes=args.num_processes,
         fixed_intrinsics=args.fixed_intrinsics,
         intrinsics_from_views=args.intrinsics_from_views,
         always_full_ba=args.always_full_ba, normalize=args.normalize,

@@ -42,6 +42,34 @@ def _ba_step(intr, trans, rot, points, obs, cam_idx, pt_idx, obs_valid, trr,
     return new_intr, new_trans, new_rot, new_points, new_mse, pred, n_cg
 
 
+def lm_optimize_distributed(mesh: Mesh, intr, trans, rot, points,
+                            obs, cam_idx, pt_idx, obs_valid, num_valid,
+                            **opts):
+    """The FULL LM trust-region loop (ba_core.lm_optimize_device) with
+    observations sharded over `mesh` and parameters replicated.
+
+    Same compiled program as the single-device loop — the shardings make
+    XLA lower every segment-sum (Hessian block assembly, the E/E^T
+    products inside each CG iteration) into a local partial sum plus a
+    psum over the mesh axis, i.e. one all-reduce per CG matvec riding
+    ICI. The observation axis must be padded to a multiple of the mesh
+    size (lm.py's power-of-two buckets already are).
+
+    Returns (intr, trans, rot, points, status) with replicated outputs.
+    """
+    intr = replicate(mesh, intr)
+    trans = replicate(mesh, trans)
+    rot = replicate(mesh, rot)
+    points = replicate(mesh, points)
+    obs = shard_batch(mesh, obs)
+    cam_idx = shard_batch(mesh, cam_idx)
+    pt_idx = shard_batch(mesh, pt_idx)
+    obs_valid = shard_batch(mesh, obs_valid)
+    return ba_core.lm_optimize_device(
+        intr, trans, rot, points, obs, cam_idx, pt_idx, obs_valid,
+        num_valid, **opts)
+
+
 def distributed_ba_step(mesh: Mesh, intr, trans, rot, points,
                         obs, cam_idx, pt_idx, obs_valid, trr,
                         cg_max_iter: int = 100):

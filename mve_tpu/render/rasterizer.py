@@ -205,15 +205,24 @@ def overlay_points(rgb: np.ndarray, depth: np.ndarray, points, colors,
     colors = np.asarray(colors, np.float32).reshape(-1, 3)
     if len(colors) == 1:
         colors = np.broadcast_to(colors, (len(sxy), 3))
-    for (x, y), z, ok, col in zip(sxy, ndcz, front, colors):
-        if not ok:
-            continue
-        xi, yi = int(round(x)), int(round(y))
-        for dy in range(-radius, radius + 1):
-            for dx in range(-radius, radius + 1):
-                px, py = xi + dx, yi + dy
-                if 0 <= px < w and 0 <= py < h and z <= depth[py, px] + depth_bias:
-                    rgb[py, px] = col
+    colors = np.asarray(colors, np.float32)
+    xi = np.round(sxy[:, 0]).astype(np.int64)
+    yi = np.round(sxy[:, 1]).astype(np.int64)
+    # Far-to-near scatter per splat offset: overlapping points resolve to
+    # the nearest one (SfM bundles carry 1e5+ points — the splat loop is
+    # over the (2r+1)^2 offsets, not the points).
+    order = np.argsort(-ndcz, kind="stable")
+    xi, yi, zz = xi[order], yi[order], ndcz[order]
+    fr = front[order]
+    cols = colors[order]
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            px = xi + dx
+            py = yi + dy
+            ok = fr & (px >= 0) & (px < w) & (py >= 0) & (py < h)
+            pxo, pyo = px[ok], py[ok]
+            vis = zz[ok] <= depth[pyo, pxo] + depth_bias
+            rgb[pyo[vis], pxo[vis]] = cols[ok][vis]
 
 
 def overlay_lines(rgb: np.ndarray, depth: np.ndarray, segments, color,
@@ -229,14 +238,30 @@ def overlay_lines(rgb: np.ndarray, depth: np.ndarray, segments, color,
     """
     h, w = depth.shape
     color = np.asarray(color, np.float32)
+    vp = proj.astype(np.float64) @ view.astype(np.float64)
+    w_eps = 1e-6
     for seg in np.asarray(segments, np.float64).reshape(-1, 2, 3):
         p0, p1 = seg
-        s, _, f = _project(np.stack([p0, p1]), view, proj, w, h)
+        # Clip against w > eps in clip space first: a behind-camera
+        # endpoint's projection is meaningless and would collapse the
+        # sample-count estimate for partially visible segments.
+        w0 = vp[3] @ np.append(p0, 1.0)
+        w1 = vp[3] @ np.append(p1, 1.0)
+        if w0 <= w_eps and w1 <= w_eps:
+            continue
+        t0, t1 = 0.0, 1.0
+        if w0 <= w_eps:
+            t0 = (w_eps - w0) / (w1 - w0)
+        elif w1 <= w_eps:
+            t1 = (w_eps - w0) / (w1 - w0)
+        p0c = p0 + (p1 - p0) * t0
+        p1c = p0 + (p1 - p0) * t1
+        s, _, f = _project(np.stack([p0c, p1c]), view, proj, w, h)
         if not f.any():
             continue
         n = int(max(2, min(4096, np.linalg.norm(s[1] - s[0]) * samples_per_px)))
         ts = np.linspace(0.0, 1.0, n)
-        pts = p0[None] * (1 - ts)[:, None] + p1[None] * ts[:, None]
+        pts = p0c[None] * (1 - ts)[:, None] + p1c[None] * ts[:, None]
         sxy, ndcz, front = _project(pts, view, proj, w, h)
         xi = np.round(sxy[:, 0]).astype(int)
         yi = np.round(sxy[:, 1]).astype(int)

@@ -16,7 +16,8 @@ __all__ = ["frustum_segments", "axis_segments", "aabb_segments",
 
 
 def frustum_segments(cam, size: float = 1.0) -> np.ndarray:
-    """Camera frustum wireframe (8 pyramid edges + 4 far-plane edges).
+    """Camera frustum wireframe: 4 apex-to-far edges, 4 far-plane edges,
+    plus one up-tick marking the image top edge (9 segments).
 
     cam: core.CameraInfo with valid extrinsics; size = apex-to-far-plane
     distance in world units.  Corners are the normalized image corners

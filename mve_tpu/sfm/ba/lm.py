@@ -35,6 +35,10 @@ class BAOptions:
     cg_max_iterations: int = 1000
     verbose_output: bool = False
     dtype: object = np.float32
+    # Optional jax.sharding.Mesh: shard the observation axis over it and
+    # run the SAME device LM loop with psum collectives (SURVEY §2.9 /
+    # parallel/distributed_ba.py). None = single device.
+    mesh: object = None
 
 
 @dataclasses.dataclass
@@ -95,6 +99,9 @@ class BundleAdjustment:
 
         C, P, O = len(intr_np), len(points_np), len(obs_np)
         Cp, Pp, Op = _bucket(C, 16), _bucket(P, 256), _bucket(O, 512)
+        if opts.mesh is not None:
+            m = opts.mesh.size  # shard axis must divide the padded O
+            Op = (Op + m - 1) // m * m
 
         intr = jnp.asarray(_pad(intr_np, Cp).astype(dtype))
         # Padded cameras get f=1 so the residual function stays finite.
@@ -116,14 +123,22 @@ class BundleAdjustment:
             # Fast path: the whole LM loop as one device program
             # (core.lm_optimize_device). The verbose path below drives the
             # loop from the host so per-iteration status can print.
-            ii, tt, rr, pp, status = core.lm_optimize_device(
-                intr, trans, rot, points, obs, cam_idx, pt_idx, obs_valid,
-                jnp.asarray(O, dtype),
+            kwargs = dict(
                 mode=mode, fixed_intrinsics=opts.fixed_intrinsics,
                 max_iters=opts.lm_max_iterations,
                 cg_max_iter=opts.cg_max_iterations,
                 lm_delta_threshold=opts.lm_delta_threshold,
                 lm_mse_threshold=opts.lm_mse_threshold)
+            if opts.mesh is not None:
+                from ...parallel.distributed_ba import lm_optimize_distributed
+
+                ii, tt, rr, pp, status = lm_optimize_distributed(
+                    opts.mesh, intr, trans, rot, points, obs, cam_idx,
+                    pt_idx, obs_valid, jnp.asarray(O, dtype), **kwargs)
+            else:
+                ii, tt, rr, pp, status = core.lm_optimize_device(
+                    intr, trans, rot, points, obs, cam_idx, pt_idx,
+                    obs_valid, jnp.asarray(O, dtype), **kwargs)
             status = np.asarray(status, np.float64)
             self.status.initial_mse = float(status[0])
             self.status.final_mse = float(status[1])

@@ -36,6 +36,9 @@ class IncrementalOptions:
     new_track_error_threshold: float = 0.01
     min_triangulation_angle: float = np.deg2rad(1.0)
     ba_fixed_intrinsics: bool = False
+    # jax.sharding.Mesh for observation-sharded BA (parallel/
+    # distributed_ba.lm_optimize_distributed); None = single device.
+    ba_mesh: object = None
     verbose_output: bool = False
     verbose_ba: bool = False
 
@@ -319,6 +322,7 @@ class Incremental:
         (bundler_incremental.cc:416-575)."""
         opts = BAOptions(
             fixed_intrinsics=self.opts.ba_fixed_intrinsics,
+            mesh=self.opts.ba_mesh,
             verbose_output=self.opts.verbose_ba)
         if single_camera_ba >= 0:
             opts.bundle_mode = BundleMode.CAMERAS

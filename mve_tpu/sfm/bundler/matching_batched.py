@@ -90,16 +90,21 @@ class BatchedMatching:
     def __init__(self, options: Optional[MatchingOptions] = None):
         self.opts = options or MatchingOptions()
 
-    def compute(self, viewports: List[Viewport], seed: int = 0) -> List[TwoViewMatching]:
+    def compute(self, viewports: List[Viewport], seed: int = 0,
+                pairs=None) -> List[TwoViewMatching]:
+        """pairs: optional explicit (v2, v1) list — the multi-process
+        path shards the full pair list across hosts (multihost.my_shard)
+        and each process matches only its share."""
         opts = self.opts
         V = len(viewports)
         rng = np.random.RandomState(seed)
-        pairs = []
-        for v1 in range(V):
-            for v2 in range(v1):
-                if opts.max_num_pairs_per_view > 0 and v1 - v2 > opts.max_num_pairs_per_view:
-                    continue
-                pairs.append((v2, v1))
+        if pairs is None:
+            pairs = []
+            for v1 in range(V):
+                for v2 in range(v1):
+                    if opts.max_num_pairs_per_view > 0 and v1 - v2 > opts.max_num_pairs_per_view:
+                        continue
+                    pairs.append((v2, v1))
         if not pairs:
             return []
 

@@ -319,12 +319,21 @@ def _assign_orientations(grad, ori, x, y, samp, valid,
     dys = jnp.arange(-R, R + 1, dtype=jnp.float32)
     DX, DY = jnp.meshgrid(dxs, dys, indexing="xy")  # (2R+1, 2R+1)
 
+    # Edge-pad once so every keypoint's window is one contiguous
+    # dynamic_slice (a block gather the TPU handles at full bandwidth)
+    # instead of (2R+1)^2 scattered element gathers. Out-of-image taps
+    # read edge values but are masked by in_win, and keypoints whose
+    # support window leaves the image are rejected by `inside`, so the
+    # results are bit-identical for every surviving keypoint.
+    grad_pad = jnp.pad(grad, ((0, 0), (R, R), (R, R)), mode="edge")
+    ori_pad = jnp.pad(ori, ((0, 0), (R, R), (R, R)), mode="edge")
+
     def per_kp(ix1, iy1, is1, x1, y1, sigma1, win1):
-        yy = jnp.clip(iy1 + DY.astype(jnp.int32), 0, H - 1)
-        xx = jnp.clip(ix1 + DX.astype(jnp.int32), 0, W - 1)
         level = jnp.clip(is1 + 1, 0, grad.shape[0] - 1)
-        gm = grad[level, yy, xx]
-        go = ori[level, yy, xx]
+        gm = jax.lax.dynamic_slice(
+            grad_pad, (level, iy1, ix1), (1, 2 * R + 1, 2 * R + 1))[0]
+        go = jax.lax.dynamic_slice(
+            ori_pad, (level, iy1, ix1), (1, 2 * R + 1, 2 * R + 1))[0]
         dxf = x1 - ix1
         dyf = y1 - iy1
         dist = (DX - dxf) ** 2 + (DY - dyf) ** 2
@@ -334,7 +343,12 @@ def _assign_orientations(grad, ori, x, y, samp, valid,
         weight = jnp.exp(-dist / (2.0 * sig_w * sig_w))
         contrib = jnp.where(in_win, gm * weight, 0.0)
         bin_idx = jnp.clip((nbins * go / (2 * jnp.pi)).astype(jnp.int32), 0, nbins - 1)
-        hist = jnp.zeros(nbins).at[bin_idx.reshape(-1)].add(contrib.reshape(-1))
+        # Histogram as a one-hot contraction instead of a scatter-add:
+        # TPU serializes scatters, but sum-over-taps against a one-hot
+        # bin matrix is a single MXU matmul.
+        onehot = (bin_idx.reshape(-1)[:, None]
+                  == jnp.arange(nbins)[None, :]).astype(contrib.dtype)
+        hist = contrib.reshape(-1) @ onehot
         return hist
 
     hist = jax.vmap(per_kp)(ix, iy, isamp, x, y, sigma, win)  # (N, 36)
@@ -381,6 +395,11 @@ def _compute_descriptors(grad, ori, x, y, samp, orientation, valid,
     dxs = jnp.arange(-R, R + 1, dtype=jnp.float32)
     DX, DY = jnp.meshgrid(dxs, dxs, indexing="xy")
 
+    # Contiguous-window gathers (see _assign_orientations): one
+    # dynamic_slice per keypoint on edge-padded planes.
+    grad_pad = jnp.pad(grad, ((0, 0), (R, R), (R, R)), mode="edge")
+    ori_pad = jnp.pad(ori, ((0, 0), (R, R), (R, R)), mode="edge")
+
     def per_kp(x1, y1, samp1, ori1):
         ix1 = (x1 + 0.5).astype(jnp.int32)
         iy1 = (y1 + 0.5).astype(jnp.int32)
@@ -393,10 +412,10 @@ def _compute_descriptors(grad, ori, x, y, samp, orientation, valid,
         ok = (ix1 >= win1) & (ix1 + win1 < W) & (iy1 >= win1) & (iy1 + win1 < H)
 
         level = jnp.clip(is1 + 1, 0, grad.shape[0] - 1)
-        yy = jnp.clip(iy1 + DY.astype(jnp.int32), 0, H - 1)
-        xx = jnp.clip(ix1 + DX.astype(jnp.int32), 0, W - 1)
-        gm = grad[level, yy, xx]
-        go = ori[level, yy, xx]
+        gm = jax.lax.dynamic_slice(
+            grad_pad, (level, iy1, ix1), (1, 2 * R + 1, 2 * R + 1))[0]
+        go = jax.lax.dynamic_slice(
+            ori_pad, (level, iy1, ix1), (1, 2 * R + 1, 2 * R + 1))[0]
 
         theta = go - ori1
         theta = jnp.where(theta < 0, theta + 2 * jnp.pi, theta)
@@ -413,29 +432,28 @@ def _compute_descriptors(grad, ori, x, y, samp, orientation, valid,
         in_win = (jnp.abs(DX) <= win1) & (jnp.abs(DY) <= win1)
         contrib = jnp.where(in_win, gm * gw, 0.0)
 
-        bx0 = jnp.floor(binx).astype(jnp.int32)
-        by0 = jnp.floor(biny).astype(jnp.int32)
-        bt0 = jnp.floor(bint).astype(jnp.int32)
-        wx1 = binx - bx0.astype(jnp.float32)
-        wy1 = biny - by0.astype(jnp.float32)
-        wt1 = bint - bt0.astype(jnp.float32)
-
-        desc = jnp.zeros(PXB * PXB * OHB)
-        for xi in range(2):
-            bx = bx0 + xi
-            wx = jnp.where(xi == 0, 1.0 - wx1, wx1)
-            x_ok = (bx >= 0) & (bx < PXB)
-            for yi in range(2):
-                by = by0 + yi
-                wy = jnp.where(yi == 0, 1.0 - wy1, wy1)
-                y_ok = (by >= 0) & (by < PXB)
-                for ti in range(2):
-                    bt = jnp.mod(bt0 + ti, OHB)
-                    wt = jnp.where(ti == 0, 1.0 - wt1, wt1)
-                    w = contrib * wx * wy * wt
-                    idx = bt + jnp.clip(bx, 0, PXB - 1) * OHB + jnp.clip(by, 0, PXB - 1) * OHB * PXB
-                    w = jnp.where(x_ok & y_ok, w, 0.0)
-                    desc = desc.at[idx.reshape(-1)].add(w.reshape(-1))
+        # Trilinear soft-binning as SEPARABLE hat-weight contractions —
+        # the TPU replacement for the reference's per-tap scatter into
+        # the 128-bin histogram (scatters serialize on TPU; this form is
+        # fused elementwise work plus one small batched matmul on the
+        # MXU). hat(d) = max(0, 1-|d|) reproduces the two-corner linear
+        # weights exactly, including the implicit drop of out-of-range
+        # spatial bins (the hat is zero there); the orientation axis
+        # wraps, so its distance is circular.
+        tflat = contrib.reshape(-1)                       # (T,)
+        bxf = binx.reshape(-1)
+        byf = biny.reshape(-1)
+        btf = bint.reshape(-1)
+        bins4 = jnp.arange(PXB, dtype=jnp.float32)
+        bins8 = jnp.arange(OHB, dtype=jnp.float32)
+        wxh = jnp.maximum(0.0, 1.0 - jnp.abs(bxf[:, None] - bins4))   # (T,4)
+        wyh = jnp.maximum(0.0, 1.0 - jnp.abs(byf[:, None] - bins4))   # (T,4)
+        dt = jnp.abs(jnp.mod(btf[:, None] - bins8, OHB))
+        dt = jnp.minimum(dt, OHB - dt)
+        wth = jnp.maximum(0.0, 1.0 - dt)                              # (T,8)
+        # desc[by, bx, bt] = sum_t contrib wy wx wt
+        M = (tflat[:, None, None] * wyh[:, :, None] * wxh[:, None, :])
+        desc = jnp.einsum("tyx,to->yxo", M, wth).reshape(-1)
         # Normalize, clamp 0.2, renormalize (sift.cc:832-840).
         desc = desc / jnp.maximum(jnp.linalg.norm(desc), 1e-12)
         desc = jnp.minimum(desc, 0.2)
