@@ -83,7 +83,23 @@ class BundleAdjustment:
     def optimize(self, problem: BAProblem) -> BAStatus:
         t0 = time.perf_counter()
         self.status = BAStatus()
-        self._lm_optimize(problem)
+        if np.dtype(self.opts.dtype) == np.float64:
+            # f64 path (the reference runs doubles throughout,
+            # bundle_adjustment.cc): TPUs have no native f64, so the
+            # double-precision solve runs the SAME programs on the CPU
+            # backend under x64 — for ill-conditioned Schur systems where
+            # f32 stalls (BAOptions.dtype=np.float64 to opt in).
+            import contextlib
+
+            import jax
+
+            with contextlib.ExitStack() as stack:
+                stack.enter_context(jax.enable_x64(True))
+                stack.enter_context(
+                    jax.default_device(jax.local_devices(backend="cpu")[0]))
+                self._lm_optimize(problem)
+        else:
+            self._lm_optimize(problem)
         self.status.runtime_ms = int((time.perf_counter() - t0) * 1000)
         return self.status
 

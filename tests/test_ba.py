@@ -106,3 +106,29 @@ def test_ba_recovers_geometry():
         pc_e = (cam.rotation @ pts_est.T).T + cam.translation
         uv_e = pc_e[:, :2] / pc_e[:, 2:] * cam.focal_length
         assert np.abs(uv_e - uv_true).max() < 2e-3
+
+
+def test_ba_float64_precision():
+    """BAOptions(dtype=float64) runs the same LM programs in doubles (the
+    reference's precision, bundle_adjustment.cc) and reaches an MSE floor
+    float32 cannot: with noise-free observations the true parameters are
+    an exact optimum, so the limit is arithmetic precision alone."""
+    problem32, _, _ = _make_problem(noise_obs=0.0, noise_cam=2e-3,
+                                    noise_pt=5e-3, seed=7)
+    problem64, _, _ = _make_problem(noise_obs=0.0, noise_cam=2e-3,
+                                    noise_pt=5e-3, seed=7)
+
+    ba32 = BundleAdjustment(BAOptions(lm_mse_threshold=0.0,
+                                      lm_delta_threshold=1e-12))
+    st32 = ba32.optimize(problem32)
+
+    ba64 = BundleAdjustment(BAOptions(dtype=np.float64,
+                                      lm_mse_threshold=0.0,
+                                      lm_delta_threshold=1e-12))
+    st64 = ba64.optimize(problem64)
+
+    assert st64.final_mse < st32.final_mse * 1e-2, (
+        f"f64 {st64.final_mse:.3e} should beat f32 {st32.final_mse:.3e}")
+    assert st64.final_mse < 1e-14
+    # Parameters come back in doubles and are finite.
+    assert np.isfinite([c.focal_length for c in problem64.cameras]).all()

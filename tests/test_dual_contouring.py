@@ -75,3 +75,51 @@ def test_dc_scale_adaptive():
     assert bottom > 10 * top, f"not adaptive: top {top}, bottom {bottom}"
     r = np.linalg.norm(v, axis=1)
     assert abs(np.median(r) - 1.0) < 0.05
+
+
+def test_octree_traversal_semantics():
+    """Analog of the reference's octree iterator suite
+    (tests/fssr/gtest_octree_iterator.cc): the leaf set tiles the root
+    exactly — deterministic, disjoint, gap-free — and every sample's
+    insertion level matches its scale (octree.cc:153-230)."""
+    import numpy as np
+
+    from mve_tpu.fssr.octree import build_octree
+    from mve_tpu.fssr.sample import SampleList
+
+    rng = np.random.RandomState(5)
+    n = 200
+    pos = rng.rand(n, 3)
+    scale = 10.0 ** rng.uniform(-2, -0.5, n)
+    samples = SampleList(
+        pos=pos, normal=np.tile([0.0, 0.0, 1.0], (n, 1)),
+        scale=scale, confidence=np.ones(n), color=np.full((n, 3), 0.5))
+    octree = build_octree(samples, max_level=8)
+
+    # 1. Deterministic rebuild.
+    octree2 = build_octree(samples, max_level=8)
+    k1 = sorted(zip(octree.leaf_level.tolist(),
+                    map(tuple, octree.leaf_coord.tolist())))
+    k2 = sorted(zip(octree2.leaf_level.tolist(),
+                    map(tuple, octree2.leaf_coord.tolist())))
+    assert k1 == k2
+
+    # 2. No leaf is an ancestor of another (disjointness).
+    leafset = set(zip(octree.leaf_level.tolist(),
+                      map(tuple, octree.leaf_coord.tolist())))
+    for lvl, c in leafset:
+        cc = np.asarray(c)
+        for up in range(1, lvl + 1):
+            assert (lvl - up, tuple(cc // (2 ** up))) not in leafset
+
+    # 3. Exact tiling: leaf volumes sum to the root volume.
+    vol = sum((octree.root_size / 2.0 ** l) ** 3 for l in octree.leaf_level)
+    assert abs(vol - octree.root_size ** 3) < 1e-6 * octree.root_size ** 3
+
+    # 4. Sample levels follow scale: node size at the sample's level is
+    # >= its scale, and the next-finer level would be smaller.
+    lvl = np.floor(np.log2(octree.root_size / scale)).astype(int)
+    lvl = np.clip(lvl, 0, 8)
+    node = octree.root_size / 2.0 ** lvl
+    assert (node >= scale - 1e-12).all()
+    assert ((node / 2.0 < scale) | (lvl == 8)).all()
