@@ -21,20 +21,33 @@ from ..sfm.pose import CameraPose
 
 
 def feature_reconstruct(scene_path: str, *, image_name: str = "undistorted",
-                        verbose: bool = True):
+                        max_pixels: int = 6_000_000,
+                        prebundle_path: str = "", verbose: bool = True):
+    import os
+
+    from ..sfm.bundler import load_prebundle, save_prebundle
+
     scene = Scene(scene_path)
     views = scene.get_views()
-    viewports = [Viewport() for _ in views]
 
-    features = Features(FeaturesOptions(verbose=verbose))
-    for i, view in enumerate(views):
-        if view is None or not view.has_image(image_name):
-            continue
-        features.compute_viewport(view.get_image(image_name), viewports[i])
-        view.cache_cleanup()
+    if prebundle_path and os.path.isfile(prebundle_path):
+        if verbose:
+            print(f"Loading prebundle {prebundle_path}...")
+        viewports, pairwise = load_prebundle(prebundle_path)
+    else:
+        viewports = [Viewport() for _ in views]
+        features = Features(FeaturesOptions(max_image_size=max_pixels,
+                                            verbose=verbose))
+        for i, view in enumerate(views):
+            if view is None or not view.has_image(image_name):
+                continue
+            features.compute_viewport(view.get_image(image_name), viewports[i])
+            view.cache_cleanup()
 
-    matcher = Matching(BundlerMatchingOptions(verbose=verbose))
-    pairwise = matcher.compute(viewports)
+        matcher = Matching(BundlerMatchingOptions(verbose=verbose))
+        pairwise = matcher.compute(viewports)
+        if prebundle_path:
+            save_prebundle(viewports, pairwise, prebundle_path)
     tracks = Tracks(TracksOptions(verbose=verbose)).compute(pairwise, viewports)
     if verbose:
         print(f"Created {len(tracks)} tracks.")
@@ -70,9 +83,17 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="featurerecon",
                                 description="Triangulate features with known cameras.")
     p.add_argument("scene", help="Scene directory")
-    p.add_argument("-i", "--image", default="undistorted")
+    p.add_argument("-i", "--image", "-o", "--original", dest="image",
+                   default="undistorted",
+                   help="Image embedding name [undistorted]")
+    p.add_argument("-m", "--max-pixels", type=int, default=6_000_000,
+                   help="Limit image size for feature detection")
+    p.add_argument("--prebundle", type=str, default="",
+                   help="Load/store matching from/to prebundle file")
     args = p.parse_args(argv)
-    feature_reconstruct(args.scene, image_name=args.image)
+    feature_reconstruct(args.scene, image_name=args.image,
+                        max_pixels=args.max_pixels,
+                        prebundle_path=args.prebundle)
     return 0
 
 

@@ -19,9 +19,14 @@ from ..utils.timer import WallTimer
 
 
 def fssr_reconstruct(input_paths, output_path: str | None = None, *,
-                     scale_factor: float = 1.0, use_hermite: bool = False,
+                     scale_factor: float = 1.0, use_hermite: bool | None = None,
+                     interpolation: str = "cubic",
                      cell_size: float | None = None, adaptive: bool = False,
+                     refine_octree: int = 0,
+                     min_scale: float = 0.0, max_scale: float = 0.0,
                      max_level: int = 10, verbose: bool = True):
+    import numpy as _np
+
     if isinstance(input_paths, str):
         input_paths = [input_paths]
     sample_lists = []
@@ -31,8 +36,33 @@ def fssr_reconstruct(input_paths, output_path: str | None = None, *,
             print(f"Loaded {len(s)} samples from {path}.")
         sample_lists.append(s)
     samples = merge_samples(sample_lists)
+    # Scale clamping/filtering (fssrecon.cc min-scale/max-scale: smaller
+    # samples are clamped up, larger samples are ignored).
+    if max_scale > 0.0:
+        keep = samples.scale <= max_scale
+        if not keep.all():
+            if verbose:
+                print(f"Ignoring {int((~keep).sum())} samples above "
+                      f"max scale {max_scale}.")
+            from ..fssr.sample import SampleList
+
+            samples = SampleList(
+                pos=samples.pos[keep], normal=samples.normal[keep],
+                color=samples.color[keep], scale=samples.scale[keep],
+                confidence=samples.confidence[keep])
+    if min_scale > 0.0:
+        samples.scale = _np.maximum(samples.scale, min_scale)
     if len(samples) == 0:
         raise RuntimeError("No valid samples loaded")
+    if refine_octree > 0:
+        # Subdivide the implicit-function sampling N extra levels
+        # (fssrecon.cc -r / octree.refine_octree): the uniform grid's
+        # equivalent is halving the cell size N times.
+        if cell_size is None:
+            scale = samples.scale.astype(_np.float64)
+            cell_size = float(_np.median(scale))
+        cell_size = cell_size / (2.0 ** refine_octree)
+        max_level = max_level + refine_octree
 
     timer = WallTimer()
     if adaptive:
@@ -53,7 +83,8 @@ def fssr_reconstruct(input_paths, output_path: str | None = None, *,
             print(f"Sampled implicit function at {len(grid.voxel_codes)} voxels, "
                   f"took {timer.get_elapsed()}ms.")
         timer.reset()
-        mesh = IsoSurface(grid, use_hermite=use_hermite).extract_mesh()
+        mesh = IsoSurface(grid, use_hermite=use_hermite,
+                          interpolation=interpolation).extract_mesh()
     if verbose:
         print(f"Extracted {mesh.num_faces()} faces, took {timer.get_elapsed()}ms.")
 
@@ -75,8 +106,17 @@ def main(argv=None) -> int:
     p.add_argument("output", help="Output PLY mesh")
     p.add_argument("-s", "--scale-factor", type=float, default=1.0,
                    help="Multiply sample scales with ARG")
+    p.add_argument("-r", "--refine-octree", type=int, default=0,
+                   help="Refines octree with N levels [0]")
+    p.add_argument("--min-scale", type=float, default=0.0,
+                   help="Minimum scale, smaller samples are clamped")
+    p.add_argument("--max-scale", type=float, default=0.0,
+                   help="Maximum scale, larger samples are ignored")
+    p.add_argument("--interpolation", default="cubic",
+                   choices=("linear", "scaling", "lsderiv", "cubic"),
+                   help="Iso-vertex interpolation [cubic]")
     p.add_argument("--hermite", action="store_true",
-                   help="Hermite iso-vertex interpolation")
+                   help="(deprecated) same as --interpolation cubic")
     p.add_argument("--cell-size", type=float, default=None,
                    help="Override voxel grid cell size")
     p.add_argument("--adaptive", action="store_true",
@@ -85,7 +125,10 @@ def main(argv=None) -> int:
                    help="Maximum octree level for --adaptive")
     args = p.parse_args(argv)
     fssr_reconstruct(args.inputs, args.output, scale_factor=args.scale_factor,
-                     use_hermite=args.hermite, cell_size=args.cell_size,
+                     interpolation=args.interpolation,
+                     refine_octree=args.refine_octree,
+                     min_scale=args.min_scale, max_scale=args.max_scale,
+                     cell_size=args.cell_size,
                      adaptive=args.adaptive, max_level=args.max_level)
     return 0
 

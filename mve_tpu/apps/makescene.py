@@ -143,7 +143,8 @@ def import_bundle(input_path: str, scene_path: str, fmt: str = "auto",
 
 
 def import_bundle_noah_ps(input_path: str, scene_path: str, *,
-                          bundle_id: int = 0, import_original: bool = False) -> int:
+                          bundle_id: int = 0, import_original: bool = False,
+                          keep_invalid: bool = False) -> int:
     """Photosynther / Noah Bundler workspace -> scene
     (makescene.cc:514 import_bundle_noah_ps).
 
@@ -189,6 +190,10 @@ def import_bundle_noah_ps(input_path: str, scene_path: str, *,
     n = len(bundle.cameras)
     for i in range(n):
         cam = bundle.cameras[i]
+        # Views with invalid cameras are skipped unless -k/--keep-invalid
+        # (makescene.cc:642,669 skip_invalid).
+        if cam.flen == 0.0 and not keep_invalid:
+            continue
         view = View.create(scene.view_dir_for_id(i), i)
         img = None
         if i < len(image_files) and os.path.isfile(image_files[i]):
@@ -239,6 +244,8 @@ def main(argv=None) -> int:
                    help="Initial camera intrinsics 'f,k1,k2,ppx,ppy,pa'")
     p.add_argument("-s", "--scale", type=int, default=-1,
                    help="Import COLMAP depth maps at this pyramid scale")
+    p.add_argument("-k", "--keep-invalid", action="store_true",
+                   help="Keeps images with invalid cameras")
     args = p.parse_args(argv)
 
     if args.append_images and not args.images_only:
@@ -255,7 +262,8 @@ def main(argv=None) -> int:
                       init_intrinsics=args.init_intrinsics)
     elif os.path.isdir(os.path.join(args.input, "bundle")):
         import_bundle_noah_ps(args.input, args.scene, bundle_id=args.bundle_id,
-                              import_original=args.original)
+                              import_original=args.original,
+                              keep_invalid=args.keep_invalid)
     elif os.path.isdir(args.input) and not _is_colmap(args.input):
         import_images(args.input, args.scene, args.max_pixels,
                       init_intrinsics=args.init_intrinsics)

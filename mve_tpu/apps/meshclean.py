@@ -15,13 +15,25 @@ from ..fssr.mesh_clean import clean_mc_mesh
 
 
 def mesh_clean(input_path: str, output_path: str | None = None, *,
-               threshold: float = 1.0, component_size: int = 1000,
+               threshold: float = 1.0, conf_percentile: float = -1.0,
+               component_size: int = 1000,
                clean_degenerated: bool = True, delete_scale: bool = False,
                delete_conf: bool = False, delete_colors: bool = False,
                verbose: bool = True):
     mesh = mesh_io.load_mesh(input_path)
     if verbose:
         print(f"Loaded mesh: {mesh.num_vertices()} vertices, {mesh.num_faces()} faces.")
+
+    # Confidence threshold from a percentile of the distribution
+    # (meshclean.cc:36-44 nth_element percentile).
+    if conf_percentile >= 0 and mesh.has_vertex_confidences():
+        conf = mesh.vertex_confidences
+        n = int(conf_percentile / 100.0 * len(conf))
+        threshold = float(np.partition(conf, min(n, len(conf) - 1))[
+            min(n, len(conf) - 1)])
+        if verbose:
+            print(f"Confidence percentile {conf_percentile} -> "
+                  f"threshold {threshold:.4f}.")
 
     # Confidence-threshold vertex deletion (meshclean.cc).
     if mesh.has_vertex_confidences() and threshold > 0:
@@ -62,6 +74,9 @@ def main(argv=None) -> int:
     p.add_argument("output", help="Output PLY mesh")
     p.add_argument("-t", "--threshold", type=float, default=1.0,
                    help="Threshold on the geometry confidence [1.0]")
+    p.add_argument("-p", "--percentile", type=float, default=-1.0,
+                   help="Use percentile (0-100) of confidence distribution "
+                        "as threshold [off]")
     p.add_argument("-c", "--component-size", type=int, default=1000,
                    help="Minimum number of vertices per component [1000]")
     p.add_argument("-n", "--no-clean", action="store_true",
@@ -71,6 +86,7 @@ def main(argv=None) -> int:
     p.add_argument("--delete-color", action="store_true")
     args = p.parse_args(argv)
     mesh_clean(args.input, args.output, threshold=args.threshold,
+               conf_percentile=args.percentile,
                component_size=args.component_size,
                clean_degenerated=not args.no_clean,
                delete_scale=args.delete_scale, delete_conf=args.delete_conf,

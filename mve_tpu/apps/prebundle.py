@@ -15,11 +15,27 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="prebundle",
                                 description="Statistics for prebundle.sfm files.")
     p.add_argument("path", help="prebundle.sfm file or scene directory")
+    p.add_argument("-g", "--graph-mode", type=str, default="",
+                   metavar="FILE",
+                   help="Output matching graph file for DOT")
     args = p.parse_args(argv)
     path = args.path
     if os.path.isdir(path):
         path = os.path.join(path, "prebundle.sfm")
     viewports, matching = load_prebundle(path)
+    if args.graph_mode:
+        # DOT matching graph (prebundle.cc graph_mode): one node per
+        # viewport, one edge per verified pair labeled by match count.
+        with open(args.graph_mode, "w") as f:
+            f.write("graph matching {\n")
+            for i in range(len(viewports)):
+                f.write(f"  v{i};\n")
+            for m in matching:
+                f.write(f"  v{m.view_1_id} -- v{m.view_2_id} "
+                        f"[label=\"{len(m.matches)}\"];\n")
+            f.write("}\n")
+        print(f"Wrote matching graph to {args.graph_mode}")
+        return 0
     n_feats = [len(vp.positions) for vp in viewports]
     print(f"Viewports: {len(viewports)}")
     print(f"Features: total {sum(n_feats)}, "

@@ -28,7 +28,9 @@ def scene_to_pointset(scene_path: str, output_path: str | None = None, *,
                       with_conf: bool = False, poisson_normals: bool = False,
                       scale_factor: float = 2.5, dd_factor: float = 5.0,
                       min_valid_fraction: float = 0.0, view_ids=None,
-                      aabb=None, process_id: int = 0, num_processes: int = 1,
+                      aabb=None, mask_name: str = "",
+                      with_correspondence: bool = False,
+                      process_id: int = 0, num_processes: int = 1,
                       verbose: bool = True) -> TriangleMesh:
     """With num_processes > 1 the views partition across processes (the
     distributed analog of the reference's OpenMP view loop,
@@ -36,6 +38,8 @@ def scene_to_pointset(scene_path: str, output_path: str | None = None, *,
     fssrecon consumes all of them as multiple inputs."""
     scene = Scene(scene_path)
     meshes = []
+    corr_rows = []       # (x, y) per merged vertex, in merge order
+    corr_meta = []       # (view_id, width, height, first_vertex_index)
     candidates = [i for i, v in enumerate(scene.get_views()) if v is not None]
     if num_processes > 1:
         from ..parallel.multihost import my_shard
@@ -60,13 +64,24 @@ def scene_to_pointset(scene_path: str, output_path: str | None = None, *,
                 if verbose:
                     print(f"View {i}: fill {100 * frac:.2f}%, skipping.")
                 continue
+        if mask_name:
+            # Clip 3D points against a mask/silhouette image
+            # (scene2pset.cc:172,212-230): depth where mask == 0 drops.
+            mask = view.get_byte_image(mask_name)
+            if mask is not None:
+                mask = np.squeeze(mask[..., 0] if mask.ndim == 3 else mask)
+                if mask.shape == dm.shape:
+                    dm = np.where(mask > 0, dm, 0.0)
+                elif verbose:
+                    print(f"View {i}: mask size mismatch, ignoring.")
         ci = view.get_byte_image(image) if image else None
         if ci is not None and ci.shape[:2] != dm.shape:
             ci = None
 
         h, w = dm.shape
         invproj = view.camera.inverse_calibration(w, h)
-        mesh, _ = dmod.depthmap_triangulate(dm, invproj, dd_factor, color_image=ci)
+        mesh, vid_img = dmod.depthmap_triangulate(dm, invproj, dd_factor,
+                                                  color_image=ci)
         # Transform to world coords (depthmap.cc:377-399).
         mesh_transform(mesh, view.camera.cam_to_world())
         if with_normals or poisson_normals:
@@ -97,6 +112,17 @@ def scene_to_pointset(scene_path: str, output_path: str | None = None, *,
             amin, amax = aabb
             inside = np.all((mesh.vertices >= amin) & (mesh.vertices <= amax), axis=1)
             mesh.delete_vertices_fix_faces(~inside)
+        if with_correspondence and aabb is None and not mask_name:
+            # Per-vertex source pixel (scene2pset.cc:65-83): valid only
+            # while vertex ids are stable, i.e. without mask/AABB clips.
+            vid = np.asarray(vid_img)
+            ys, xs = np.nonzero(vid >= 0)
+            order = vid[ys, xs]
+            px = np.zeros((mesh.num_vertices(), 2), np.int64)
+            px[order, 0] = xs
+            px[order, 1] = ys
+            corr_meta.append((i, w, h, sum(len(r) for r in corr_rows)))
+            corr_rows.append(px)
         # Point sets drop connectivity (scene2pset collects vertices only).
         mesh.faces = np.zeros((0, 3), np.int32)
         meshes.append(mesh)
@@ -111,6 +137,19 @@ def scene_to_pointset(scene_path: str, output_path: str | None = None, *,
                           write_values=with_scale, write_confidences=with_conf)
         if verbose:
             print(f"Wrote {merged.num_vertices()} points to {output_path}.")
+        if with_correspondence and corr_meta:
+            # scene2pset.cc save_correspondence_data CSV layout.
+            with open(output_path + "_correspondence-data.csv", "w") as f:
+                f.write("x, y\n")
+                for rows in corr_rows:
+                    for x, y in rows:
+                        f.write(f"{x}, {y}\n")
+            with open(output_path + "_correspondence-metadata.csv", "w") as f:
+                f.write("View_ID, Width, Height, First_Vertex_Index\n")
+                for vid_, w_, h_, first in corr_meta:
+                    f.write(f"{vid_}, {w_}, {h_}, {first}\n")
+            if verbose:
+                print(f"Wrote correspondence CSVs next to {output_path}.")
     return merged
 
 
@@ -125,6 +164,12 @@ def main(argv=None) -> int:
     p.add_argument("-s", "--with-scale", action="store_true")
     p.add_argument("-c", "--with-conf", action="store_true")
     p.add_argument("-p", "--poisson-normals", action="store_true")
+    p.add_argument("-m", "--mask", type=str, default="",
+                   help="Name of mask/silhouette image to clip 3D points []")
+    p.add_argument("-b", "--bounding-box", type=str, default="",
+                   help="Six comma separated values used as AABB")
+    p.add_argument("-C", "--correspondence", action="store_true",
+                   help="Output correspondences (in absence of -m and -b only)")
     p.add_argument("-S", "--scale-factor", type=float, default=2.5)
     p.add_argument("-f", "--min-fraction", type=float, default=0.0)
     p.add_argument("-v", "--views", default="", help="View IDs [all]")
@@ -148,11 +193,20 @@ def main(argv=None) -> int:
         image = "undistorted" if args.fssr == 0 else f"undist-L{args.fssr}"
         with_normals = with_scale = with_conf = True
     ids = set(int(x) for x in args.views.split(",")) if args.views else None
+    aabb = None
+    if args.bounding_box:
+        vals = [float(x) for x in args.bounding_box.split(",")]
+        if len(vals) != 6:
+            p.error("--bounding-box needs 6 comma-separated values")
+        aabb = (np.asarray(vals[:3], np.float32),
+                np.asarray(vals[3:], np.float32))
     scene_to_pointset(
         args.scene, args.output, dmname=dmname, image=image,
         with_normals=with_normals, with_scale=with_scale, with_conf=with_conf,
         poisson_normals=args.poisson_normals, scale_factor=args.scale_factor,
         min_valid_fraction=args.min_fraction, view_ids=ids,
+        aabb=aabb, mask_name=args.mask,
+        with_correspondence=args.correspondence,
         process_id=args.process_id, num_processes=args.num_processes)
     return 0
 

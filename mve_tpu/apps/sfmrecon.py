@@ -76,26 +76,43 @@ def _wait_for_files(paths, timeout_s: float = 3600.0) -> None:
 
 def sfm_reconstruct(scene_path: str, *, max_pixels: int = 6_000_000,
                     initial_pair=(-1, -1), video_matching: int = 0,
-                    use_lowres_matching: bool = False,
+                    use_lowres_matching: bool = True,
                     use_cascade_hashing: bool = False,
                     process_id: int = 0, num_processes: int = 1,
                     fixed_intrinsics: bool = False,
                     intrinsics_from_views: bool = False,
                     always_full_ba: bool = False,
                     normalize: bool = False,
+                    skip_sfm: bool = False,
                     track_error_thres_factor: float = 10.0,
                     new_track_error_thres: float = 0.01,
                     min_views_per_track: int = 3,
                     undistorted_name: str = "undistorted",
                     original_name: str = "original",
+                    exif_name: str = "exif",
+                    prebundle_name: str = "prebundle.sfm",
+                    survey_file: str = "",
+                    log_file: str = "",
+                    verbose_ba: bool = False,
                     verbose: bool = True) -> None:
     scene = Scene(scene_path)
     views = scene.get_views()
     if len(views) < 2:
         raise RuntimeError("Scene has too few views")
 
-    prebundle_path = os.path.join(scene_path, "prebundle.sfm")
+    prebundle_path = prebundle_name
+    if not os.path.isabs(prebundle_path):
+        prebundle_path = os.path.join(scene_path, prebundle_name)
     timer = WallTimer()
+    total_timer = WallTimer()
+
+    def log_timing(name, ms):
+        if log_file:
+            # Append-only timing log (sfmrecon.cc:66-85 log_message).
+            import time as _time
+
+            with open(log_file, "a") as f:
+                f.write(f"{int(_time.time())} {name} {int(ms)}\n")
 
     if os.path.isfile(prebundle_path):
         if verbose:
@@ -137,6 +154,7 @@ def sfm_reconstruct(scene_path: str, *, max_pixels: int = 6_000_000,
             views[i].cache_cleanup()
         if verbose:
             print(f"Computed features in {timer.get_elapsed()}ms.")
+        log_timing("features", timer.get_elapsed())
 
         if num_processes > 1:
             # Exchange features over shared storage, then shard the pair
@@ -214,7 +232,13 @@ def sfm_reconstruct(scene_path: str, *, max_pixels: int = 6_000_000,
         if verbose:
             print(f"Matching took {timer.get_elapsed()}ms; "
                   f"{len(pairwise_matching)} connected pairs.")
+        log_timing("matching", timer.get_elapsed())
         save_prebundle(viewports, pairwise_matching, prebundle_path)
+
+    if skip_sfm:
+        if verbose:
+            print("Prebundle computed; skipping SfM (--skip-sfm).")
+        return None
 
     if not pairwise_matching:
         raise RuntimeError("No matching image pairs")
@@ -222,8 +246,17 @@ def sfm_reconstruct(scene_path: str, *, max_pixels: int = 6_000_000,
     # Intrinsics priors.
     intr = Intrinsics(IntrinsicsOptions(
         intrinsics_source=(IntrinsicsSource.FROM_VIEWS if intrinsics_from_views
-                           else IntrinsicsSource.FROM_EXIF)))
+                           else IntrinsicsSource.FROM_EXIF),
+        exif_embedding=exif_name))
     intr.compute(scene, viewports)
+
+    survey_points = None
+    if survey_file:
+        from ..sfm.bundler.common import load_survey
+
+        survey_points = load_survey(survey_file)
+        if verbose:
+            print(f"Loaded {len(survey_points)} survey points.")
 
     timer.reset()
     opts = SfmOptions(
@@ -231,11 +264,13 @@ def sfm_reconstruct(scene_path: str, *, max_pixels: int = 6_000_000,
         min_views_per_track=min_views_per_track,
         always_full_ba=always_full_ba,
         normalize_scene=normalize,
+        survey_points=survey_points,
         verbose=verbose)
     opts.incremental_opts.track_error_threshold_factor = track_error_thres_factor
     opts.incremental_opts.new_track_error_threshold = new_track_error_thres
     opts.incremental_opts.ba_fixed_intrinsics = fixed_intrinsics
     opts.incremental_opts.verbose_output = verbose
+    opts.incremental_opts.verbose_ba = verbose_ba
     # Multi-chip: shard BA observations over all local devices (psum
     # collectives over ICI). A 1-device mesh is the identity, so this is
     # only engaged when real parallel hardware is present.
@@ -250,6 +285,8 @@ def sfm_reconstruct(scene_path: str, *, max_pixels: int = 6_000_000,
     incremental = run_incremental_sfm(viewports, pairwise_matching, opts)
     if verbose:
         print(f"SfM reconstruction took {timer.get_elapsed()}ms.")
+    log_timing("sfm", timer.get_elapsed())
+    log_timing("total", total_timer.get_elapsed())
 
     # Save bundle + apply cameras + undistort (sfmrecon.cc:400-444).
     bundle = incremental.create_bundle()
@@ -282,14 +319,31 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="sfmrecon",
                                 description="Incremental structure-from-motion.")
     p.add_argument("scene", help="Scene directory")
-    p.add_argument("--max-pixels", type=int, default=6_000_000,
+    p.add_argument("-o", "--original", default="original",
+                   help="Original image embedding [original]")
+    p.add_argument("-e", "--exif", default="exif",
+                   help="EXIF data embedding [exif]")
+    p.add_argument("-m", "--max-pixels", type=int, default=6_000_000,
                    help="Limit image size for feature detection")
+    p.add_argument("-u", "--undistorted", default="undistorted",
+                   help="Undistorted image embedding [undistorted]")
+    p.add_argument("--prebundle", default="prebundle.sfm",
+                   help="Load/store pre-bundle file [prebundle.sfm]")
+    p.add_argument("--survey", default="",
+                   help="Load survey (ground control points) from file []")
+    p.add_argument("--log-file", default="",
+                   help="Log some timings to file []")
+    p.add_argument("--no-prediction", action="store_true",
+                   help="Disable low-res matchability prediction")
+    p.add_argument("--lowres-matching", action="store_true",
+                   help="(deprecated) low-res matching is on by default; "
+                        "use --no-prediction to disable")
+    p.add_argument("--skip-sfm", action="store_true",
+                   help="Compute prebundle, skip SfM reconstruction")
     p.add_argument("--initial-pair", type=str, default="-1,-1",
                    help="Initial pair view IDs, e.g. 0,5")
     p.add_argument("--video-matching", type=int, default=0,
                    help="Only match to ARG previous frames")
-    p.add_argument("--lowres-matching", action="store_true",
-                   help="Low-res match pre-filtering")
     p.add_argument("--cascade-hashing", action="store_true",
                    help="Use cascade hashing for matching")
     p.add_argument("--fixed-intrinsics", action="store_true",
@@ -300,8 +354,16 @@ def main(argv=None) -> int:
                    help="Run full bundle adjustment after every view")
     p.add_argument("--normalize", action="store_true",
                    help="Normalize scene after reconstruction")
-    p.add_argument("--track-error-thres", type=float, default=10.0)
-    p.add_argument("--new-track-error-thres", type=float, default=0.01)
+    p.add_argument("--verbose-ba", action="store_true",
+                   help="Print per-iteration BA status")
+    # Reference names (sfmrecon.cc:506-507): --track-error-thres is the
+    # NEW-track error threshold, --track-thres-factor the median factor.
+    p.add_argument("--track-error-thres", type=float, default=0.01,
+                   help="Error threshold for new tracks [0.01]")
+    p.add_argument("--track-thres-factor", type=float, default=10.0,
+                   help="Error threshold factor [10]")
+    p.add_argument("--use-2cam-tracks", action="store_true",
+                   help="Triangulate tracks from only two cameras")
     p.add_argument("--min-views-per-track", type=int, default=3)
     p.add_argument("--process-id", type=int,
                    default=int(os.environ.get("JAX_PROCESS_ID", 0)),
@@ -315,15 +377,21 @@ def main(argv=None) -> int:
     sfm_reconstruct(
         args.scene, max_pixels=args.max_pixels, initial_pair=pair,
         video_matching=args.video_matching,
-        use_lowres_matching=args.lowres_matching,
+        use_lowres_matching=not args.no_prediction,
         use_cascade_hashing=args.cascade_hashing,
         process_id=args.process_id, num_processes=args.num_processes,
         fixed_intrinsics=args.fixed_intrinsics,
         intrinsics_from_views=args.intrinsics_from_views,
         always_full_ba=args.always_full_ba, normalize=args.normalize,
-        track_error_thres_factor=args.track_error_thres,
-        new_track_error_thres=args.new_track_error_thres,
-        min_views_per_track=args.min_views_per_track)
+        skip_sfm=args.skip_sfm,
+        track_error_thres_factor=args.track_thres_factor,
+        new_track_error_thres=args.track_error_thres,
+        min_views_per_track=2 if args.use_2cam_tracks
+        else args.min_views_per_track,
+        original_name=args.original, undistorted_name=args.undistorted,
+        exif_name=args.exif, prebundle_name=args.prebundle,
+        survey_file=args.survey, log_file=args.log_file,
+        verbose_ba=args.verbose_ba)
     return 0
 
 

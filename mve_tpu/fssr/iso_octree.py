@@ -184,34 +184,39 @@ class IsoOctree:
         origin = aabb_min - h
         dims = np.ceil(dims_f).astype(np.int64) + 2
 
-        # --- active cells: near-surface region around each sample.
+        # --- active cells: near-surface region around each sample. The
+        # (2r+1)^3 neighborhood expands directly in linear-code space
+        # (one int64 per cell instead of a coordinate triple — the
+        # expansion is allocation-bound on this host). Center cells are
+        # clamped so the whole neighborhood stays in bounds; border
+        # samples thus mark a shifted (never out-of-range) neighborhood.
+        stride_y = dims[0]
+        stride_z = dims[0] * dims[1]
         cell = np.floor((pos - origin) / h).astype(np.int64)
         r_cells = np.minimum(np.ceil(np.maximum(scale, h) / h).astype(np.int64), 3)
-        cells = []
+        code_parts = []
         for r in np.unique(r_cells):
             sub = cell[r_cells == r]
+            sub = np.clip(sub, r, (dims - 3 - r)[None, :])
+            sub_code = (sub[:, 2] * dims[1] + sub[:, 1]) * dims[0] + sub[:, 0]
             rng = np.arange(-r, r + 1)
             ox, oy, oz = np.meshgrid(rng, rng, rng, indexing="ij")
-            offs = np.stack([ox.reshape(-1), oy.reshape(-1), oz.reshape(-1)], axis=1)
-            cells.append((sub[:, None, :] + offs[None, :, :]).reshape(-1, 3))
-        cells = np.concatenate(cells)
-        cells = cells[(cells >= 0).all(axis=1) & (cells < (dims - 1)[None, :] - 1).all(axis=1)]
+            offs_code = (oz.reshape(-1) * dims[1] + oy.reshape(-1)) * dims[0] \
+                + ox.reshape(-1)
+            code_parts.append((sub_code[:, None] + offs_code[None, :]).reshape(-1))
         # Unique via linear codes (np.unique(axis=0) sorts a void view —
         # an order of magnitude slower).
-        ccodes = (cells[:, 2] * dims[1] + cells[:, 1]) * dims[0] + cells[:, 0]
-        uniq = np.unique(ccodes)
-        cz = uniq // (dims[0] * dims[1])
-        crem = uniq % (dims[0] * dims[1])
+        uniq = np.unique(np.concatenate(code_parts))
+        cz = uniq // stride_z
+        crem = uniq % stride_z
         cells = np.stack([crem % dims[0], crem // dims[0], cz], axis=1)
 
         # --- voxel set: unique corners of active cells.
-        stride_y = dims[0]
-        stride_z = dims[0] * dims[1]
-        corner_offsets = np.array(
-            [[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0],
-             [0, 0, 1], [1, 0, 1], [0, 1, 1], [1, 1, 1]], np.int64)
-        corners = (cells[:, None, :] + corner_offsets[None, :, :]).reshape(-1, 3)
-        corner_codes = corners[:, 0] + corners[:, 1] * stride_y + corners[:, 2] * stride_z
+        corner_offs_code = np.array(
+            [0, 1, stride_y, stride_y + 1,
+             stride_z, stride_z + 1, stride_z + stride_y,
+             stride_z + stride_y + 1], np.int64)
+        corner_codes = (uniq[:, None] + corner_offs_code[None, :]).reshape(-1)
         voxel_codes = np.unique(corner_codes)
         V = len(voxel_codes)
         vx = voxel_codes % stride_y

@@ -37,11 +37,22 @@ _CORNER_OFFSETS = np.array(
 
 
 class IsoSurface:
-    """Mirrors fssr::IsoSurface (iso_surface.h:38-126)."""
+    """Mirrors fssr::IsoSurface (iso_surface.h:38-126).
 
-    def __init__(self, grid: VoxelGrid, use_hermite: bool = False):
+    interpolation: 'linear', 'scaling', 'lsderiv' or 'cubic' — the
+    reference's iso-vertex root-finding variants (hermite.cc
+    interpolate_root; the default build uses derivatives with CUBIC,
+    defines.h:20, iso_surface.h:41)."""
+
+    def __init__(self, grid: VoxelGrid, use_hermite: bool | None = None,
+                 interpolation: str = "cubic"):
         self.grid = grid
-        self.use_hermite = use_hermite
+        if use_hermite is not None:  # legacy bool: True -> cubic
+            interpolation = "cubic" if use_hermite else "linear"
+        if interpolation not in ("linear", "scaling", "lsderiv", "cubic"):
+            raise ValueError(f"invalid interpolation: {interpolation}")
+        self.interpolation = interpolation
+        self.use_hermite = interpolation != "linear"
 
     def extract_mesh(self) -> TriangleMesh:
         g = self.grid
@@ -128,8 +139,11 @@ class IsoSurface:
         pb = g.voxel_position(code_sorted[ub])
         denom = va - vb
         t = va / np.where(np.abs(denom) < 1e-30, 1e-30, denom)
-        if self.use_hermite:
+        if self.interpolation == "cubic":
             t = self._hermite_roots(va, vb, g.deriv[ua], g.deriv[ub], pb - pa, t)
+        elif self.interpolation in ("scaling", "lsderiv"):
+            t = self._quadratic_roots(va, vb, g.deriv[ua], g.deriv[ub],
+                                      pb - pa, t, self.interpolation)
         t = np.clip(t, 0.0, 1.0)
         verts = pa + (pb - pa) * t[:, None]
 
@@ -151,6 +165,39 @@ class IsoSurface:
         mesh.delete_unreferenced_vertices()
         self._orient_faces(mesh)
         return mesh
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _quadratic_roots(va, vb, da, db, edge_vec, t_lin, kind: str):
+        """The reference's SCALING / LSDERIV quadratic iso-vertex
+        interpolants (hermite.cc interpolate_root:159-175), vectorized.
+        Falls back to the linear t where no root lies in [0, 1]."""
+        d0 = np.sum(da * edge_vec, axis=1)
+        d1 = np.sum(db * edge_vec, axis=1)
+        if kind == "scaling":
+            denom = d0 + d1
+            scale = 2.0 * (vb - va) / np.where(np.abs(denom) < 1e-30,
+                                               1e-30, denom)
+            a0 = va
+            a1 = d0 * scale
+            a2 = 3.0 * (vb - va) - (2.0 * d0 + d1) * scale
+        else:  # lsderiv
+            a0 = va
+            a1 = (d0 - d1) / 2.0 + vb - va
+            a2 = (d1 - d0) / 2.0
+        # Roots of a0 + a1 t + a2 t^2.
+        with np.errstate(invalid="ignore", divide="ignore"):
+            disc = a1 * a1 - 4.0 * a2 * a0
+            sq = np.sqrt(np.maximum(disc, 0.0))
+            a2s = np.where(np.abs(a2) < 1e-30, 1e-30, a2)
+            r1 = (-a1 + sq) / (2.0 * a2s)
+            r2 = (-a1 - sq) / (2.0 * a2s)
+            lin = -a0 / np.where(np.abs(a1) < 1e-30, 1e-30, a1)
+        ok1 = (disc >= 0) & (r1 >= 0) & (r1 <= 1) & (np.abs(a2) >= 1e-30)
+        ok2 = (disc >= 0) & (r2 >= 0) & (r2 <= 1) & (np.abs(a2) >= 1e-30)
+        deg = (np.abs(a2) < 1e-30) & (lin >= 0) & (lin <= 1)
+        t = np.where(ok1, r1, np.where(ok2, r2, np.where(deg, lin, t_lin)))
+        return np.where(np.isfinite(t), t, t_lin)
 
     # ------------------------------------------------------------------
     @staticmethod

@@ -24,6 +24,7 @@ class IntrinsicsSource(enum.Enum):
 @dataclasses.dataclass
 class IntrinsicsOptions:
     intrinsics_source: IntrinsicsSource = IntrinsicsSource.FROM_EXIF
+    exif_embedding: str = "exif"  # sfmrecon.cc -e/--exif blob name
     verbose: bool = False
 
 
@@ -44,7 +45,7 @@ class Intrinsics:
                 vp.radial_distortion[:] = cam.dist
                 vp.principal_point[:] = cam.ppoint
             else:
-                exif_blob = view.get_blob("exif")
+                exif_blob = view.get_blob(self.opts.exif_embedding)
                 exif = exif_extract(exif_blob) if exif_blob else None
                 flen, method = extract_focal_length(exif)
                 vp.focal_length = float(flen)

@@ -120,6 +120,29 @@ class BatchedMatching:
         pair_a = np.array([a for a, _ in pairs], np.int32)
         pair_b = np.array([b for _, b in pairs], np.int32)
         lowe_sq = opts.lowe_ratio ** 2
+
+        if opts.use_lowres_matching:
+            # Low-res prefilter (bundler_matching.cc low-res pass): match
+            # only the first num_lowres_features descriptors of every
+            # pair in ONE batched dispatch; pairs under
+            # min_lowres_matches are rejected before the full pass.
+            nl = opts.num_lowres_features
+            lb = max(256, (min(nl, desc.shape[1]) + 255) // 256 * 256)
+            n_lr = np.minimum(n_desc, nl).astype(np.int32)
+            m_lr = np.asarray(_match_pairs_kernel(
+                jnp.asarray(desc[:, :lb]), jnp.asarray(n_lr),
+                jnp.asarray(pair_a), jnp.asarray(pair_b), lowe_sq))
+            counts = (m_lr >= 0).sum(axis=1)
+            sel = np.nonzero(counts >= opts.min_lowres_matches)[0]
+            if opts.verbose and len(sel) < len(pairs):
+                print(f"Low-res matching rejected "
+                      f"{len(pairs) - len(sel)} of {len(pairs)} pairs.")
+            pairs = [pairs[k] for k in sel]
+            if not pairs:
+                return []
+            pair_a = pair_a[sel]
+            pair_b = pair_b[sel]
+
         m12 = np.asarray(_match_pairs_kernel(
             jnp.asarray(desc), jnp.asarray(n_desc),
             jnp.asarray(pair_a), jnp.asarray(pair_b), lowe_sq))

@@ -24,6 +24,7 @@ class SfmOptions:
     min_views_per_track: int = 3  # sfmrecon.cc conf default
     always_full_ba: bool = False
     normalize_scene: bool = False
+    survey_points: Optional[list] = None  # bundler::SurveyPoint list
     incremental_opts: IncrementalOptions = dataclasses.field(default_factory=IncrementalOptions)
     init_pair_opts: InitialPairOptions = dataclasses.field(
         default_factory=lambda: InitialPairOptions(max_homography_inliers=0.8))
@@ -55,7 +56,7 @@ def run_incremental_sfm(viewports: List[Viewport],
     viewports[result.view_2_id].pose = result.view_2_pose
 
     incremental = Incremental(opts.incremental_opts)
-    incremental.initialize(viewports, tracks)
+    incremental.initialize(viewports, tracks, opts.survey_points)
     incremental.triangulate_new_tracks(2)
     incremental.invalidate_large_error_tracks()
     incremental.bundle_adjustment_full()

@@ -63,7 +63,7 @@ def test_mesh2pset_scale_from_edges(tmp_path):
     mesh_io.save_mesh(mesh, mpath)
 
     out = str(tmp_path / "pset.ply")
-    pset = mesh_to_pset(mpath, out, scale_factor=2.0)
+    pset = mesh_to_pset(mpath, out, scale_factor=2.0, no_confidences=True)
     assert pset.num_faces() == 0
     assert pset.num_vertices() == 4
     assert pset.has_vertex_normals()
@@ -74,7 +74,8 @@ def test_mesh2pset_scale_from_edges(tmp_path):
     assert np.allclose(back.vertex_values, pset.vertex_values, atol=1e-6)
 
     # no_scale mode omits values.
-    pset2 = mesh_to_pset(mpath, str(tmp_path / "p2.ply"), no_scale=True)
+    pset2 = mesh_to_pset(mpath, str(tmp_path / "p2.ply"), no_scale=True,
+                          no_confidences=True)
     assert not pset2.has_vertex_values()
 
 
