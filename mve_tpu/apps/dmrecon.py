@@ -133,8 +133,10 @@ def main(argv=None) -> int:
     p.add_argument("-m", "--master-view", type=int, default=-1,
                    help="Reconstruct only this view ID")
     p.add_argument("-n", "--neighbors", type=int, default=None,
-                   help="Neighbor views per patch [4]")
-    p.add_argument("--filter-width", type=int, default=None,
+                   help="Amount of neighbor views (global view selection) [20]")
+    p.add_argument("--local-neighbors", type=int, default=None,
+                   help="Amount of neighbors for local view selection [4]")
+    p.add_argument("-f", "--filter-width", type=int, default=None,
                    help="NCC patch size [5]")
     p.add_argument("--min-ncc", type=float, default=None,
                    help="Minimum NCC for a view to count [0.3]")
@@ -154,7 +156,7 @@ def main(argv=None) -> int:
                    help="Destination directory for PLY files")
     p.add_argument("--bounding-box", type=str, default="",
                    help="Six comma-separated values: minx,miny,minz,maxx,maxy,maxz")
-    p.add_argument("-f", "--force", action="store_true",
+    p.add_argument("--force", action="store_true",
                    help="Reconstruct even if depth embedding exists")
     p.add_argument("--process-id", type=int,
                    default=int(os.environ.get("JAX_PROCESS_ID", 0)),
@@ -162,8 +164,9 @@ def main(argv=None) -> int:
     p.add_argument("--num-processes", type=int,
                    default=int(os.environ.get("JAX_NUM_PROCESSES", 1)),
                    help="Total processes sharing the view list")
-    p.add_argument("--progress", action="store_true",
-                   help="Live per-view status line (fancy progress printer)")
+    p.add_argument("--progress", nargs="?", const="fancy", default="simple",
+                   choices=("silent", "simple", "fancy"),
+                   help="Progress output style: silent, simple or fancy")
     args = p.parse_args(argv)
     ids = None
     if args.view_ids:
@@ -180,7 +183,9 @@ def main(argv=None) -> int:
     st = Settings()
     overrides = {}
     if args.neighbors is not None:
-        overrides["nr_recon_neighbors"] = args.neighbors
+        overrides["global_vs_max"] = args.neighbors
+    if args.local_neighbors is not None:
+        overrides["nr_recon_neighbors"] = args.local_neighbors
     if args.filter_width is not None:
         overrides["filter_width"] = args.filter_width
     if args.min_ncc is not None:
@@ -198,13 +203,16 @@ def main(argv=None) -> int:
         overrides["aabb_max"] = _np.asarray(vals[3:])
     if overrides:
         st = _dc.replace(st, **overrides)
-    printer = FancyProgressPrinter() if args.progress else None
+    printer = FancyProgressPrinter() if args.progress == "fancy" else None
+    if args.progress == "silent":
+        st = _dc.replace(st, quiet=True)
     try:
         n = reconstruct_views(args.scene, scale=args.scale, view_ids=ids,
                               max_pixels=args.max_pixels, force=args.force,
                               settings=st,
                               process_id=args.process_id,
                               num_processes=args.num_processes,
+                              verbose=args.progress != "silent",
                               progress=printer)
     finally:
         if printer is not None:
