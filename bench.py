@@ -75,6 +75,58 @@ def run_pipeline(scene_path: str, out_dir: str, verbose: bool = False) -> dict:
     return t
 
 
+def kernel_throughput() -> dict:
+    """Flagship-kernel throughput on this chip (BASELINE.json 'kernel
+    level' metrics): exhaustive-matching TFLOP/s and BA ms per LM
+    iteration on a representative problem."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    out = {}
+    # Matching: one-way top-2 NN over two 8192x128 descriptor sets — the
+    # inner product matrix is 2*N*M*D flops (nearest_neighbor.h math).
+    from mve_tpu.ops.matching import descriptor_top2 as _top2
+
+    descriptor_top2 = jax.jit(_top2)
+    N = M = 8192
+    rng = np.random.RandomState(0)
+    d1 = jnp.asarray(rng.rand(N, 128).astype(np.float32))
+    d2 = jnp.asarray(rng.rand(M, 128).astype(np.float32))
+    jax.block_until_ready(descriptor_top2(d1, d2))
+    t0 = time.perf_counter()
+    reps = 10
+    for _ in range(reps):
+        res = descriptor_top2(d1, d2)
+    jax.block_until_ready(res)
+    dt = (time.perf_counter() - t0) / reps
+    out["matching_tflops"] = round(2.0 * N * M * 128 / dt / 1e12, 3)
+
+    # BA: ms per LM iteration, full Schur pipeline on 64 cams/10k points.
+    import __graft_entry__ as g
+    from mve_tpu.sfm.ba import core as ba_core
+
+    intr, trans, rot, pts, obs, ci, pi, valid = g._synthetic_ba_problem(
+        n_cams=64, n_pts=10_240, n_obs_per_pt=4)
+    args = (jnp.asarray(intr), jnp.asarray(trans), jnp.asarray(rot),
+            jnp.asarray(pts), jnp.asarray(obs), jnp.asarray(ci),
+            jnp.asarray(pi), jnp.asarray(valid),
+            jnp.asarray(float(valid.sum()), jnp.float32))
+    kw = dict(max_iters=10, cg_max_iter=100, lm_delta_threshold=0.0,
+              lm_mse_threshold=0.0)
+    jax.block_until_ready(ba_core.lm_optimize_device(*args, **kw)[4])
+    t0 = time.perf_counter()
+    st = ba_core.lm_optimize_device(*args, **kw)[4]
+    st = np.asarray(st, np.float64)
+    dt = time.perf_counter() - t0
+    iters = max(st[2], 1.0)
+    out["ba_ms_per_lm_iter"] = round(dt * 1000.0 / iters, 2)
+    out["ba_cams"] = 64
+    out["ba_points"] = 10240
+    out["ba_obs"] = int(len(obs))
+    return out
+
+
 def main():
     """Supervisor: run the measurement in a subprocess with a watchdog.
 
@@ -126,6 +178,10 @@ def run_measurement():
     # Measured run on a fresh scene (no prebundle cache reuse).
     build_dataset(scene_meas)
     stats = run_pipeline(scene_meas, base)
+    try:
+        stats.update(kernel_throughput())
+    except Exception as exc:  # throughput probes must not sink the bench
+        sys.stderr.write(f"kernel_throughput failed: {exc}\n")
 
     baseline_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "bench_baseline.json")
@@ -145,6 +201,30 @@ def run_measurement():
         "detail": {k: (float(f"{v:.4g}") if isinstance(v, float) else v)
                    for k, v in stats.items()},
     }
+
+    # Optional BASELINE.json large config (~100 images): opt-in via env
+    # because it multiplies the runtime; results land in BENCH_LARGE.json
+    # next to this script, never on stdout (the driver reads one line).
+    if os.environ.get("MVE_TPU_BENCH_FULL") == "1":
+        try:
+            n_views = int(os.environ.get("MVE_TPU_BENCH_FULL_VIEWS", "100"))
+            scene_large = os.path.join(base, "scene_large")
+            from tests.synthetic import make_two_plane_scene
+
+            if os.path.isdir(scene_large):
+                shutil.rmtree(scene_large)
+            make_two_plane_scene(scene_large, n_views=n_views, width=WIDTH,
+                                 height=HEIGHT, seed=SEED, with_cameras=False)
+            large = run_pipeline(scene_large, base)
+            large["n_views"] = n_views
+            out_path = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_LARGE.json")
+            with open(out_path, "w") as f:
+                json.dump({k: (float(f"{v:.4g}") if isinstance(v, float)
+                               else v) for k, v in large.items()}, f)
+        except Exception as exc:
+            sys.stderr.write(f"large bench failed: {exc}\n")
+
     print(json.dumps(result))
 
 

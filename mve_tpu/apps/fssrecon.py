@@ -71,7 +71,8 @@ def fssr_reconstruct(input_paths, output_path: str | None = None, *,
         # adaptive MC).
         from ..fssr.dual_contouring import DualContouring
 
-        dc = DualContouring(samples, max_level=max_level)
+        dc = DualContouring(samples, max_level=max_level,
+                            interpolation=interpolation)
         if verbose:
             print(f"Octree with {len(dc.octree.leaf_level)} leaves, "
                   f"took {timer.get_elapsed()}ms.")

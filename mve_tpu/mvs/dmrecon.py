@@ -416,10 +416,15 @@ class DMRecon:
                                    filter_width=fw, top_k=k)
 
         # Initialize slopes from the current depth surface (central
-        # differences of ray length per pixel step).
+        # differences of ray length per pixel step). The cap bounds the
+        # plane obliquity at ~80 degrees (|dz| <= 0.05 d per pixel for
+        # typical focal lengths): steeper planes are geometrically
+        # degenerate AND their chaotic warps destroy the gather locality
+        # the TPU's memory system needs (measured 10x kernel slowdown
+        # when depth-discontinuity gradients leak into the slopes).
+        slope_cap = 0.05 * jnp.maximum(best_d, 1e-6)
         best_zx = (jnp.roll(best_d, -1, axis=1) - jnp.roll(best_d, 1, axis=1)) * 0.5
         best_zy = (jnp.roll(best_d, -1, axis=0) - jnp.roll(best_d, 1, axis=0)) * 0.5
-        slope_cap = 0.5 * best_d / max(fw, 1)  # keep all tap depths > 0
         best_zx = jnp.clip(best_zx, -slope_cap, slope_cap)
         best_zy = jnp.clip(best_zy, -slope_cap, slope_cap)
 
@@ -453,7 +458,9 @@ class DMRecon:
         for rnd in range(n_plane_rounds):
             eps = 0.3 * (0.5 ** rnd)
             bd, bzx, bzy, _, _ = state
+            cap = 0.05 * jnp.maximum(bd, 1e-6)
             step = eps * jnp.maximum(bd, 1e-6) * 0.02
+            clampz = lambda z: jnp.clip(z, -cap, cap)
             cands = []
             if rnd == 0:
                 cands.append(init_cand)
@@ -464,8 +471,8 @@ class DMRecon:
                 nzy = jnp.roll(bzy, (dy, dx), axis=(0, 1))
                 cands.append((nd + dx * nzx + dy * nzy, nzx, nzy))
             cands += [
-                (bd, bzx + step, bzy), (bd, bzx - step, bzy),
-                (bd, bzx, bzy + step), (bd, bzx, bzy - step),
+                (bd, clampz(bzx + step), bzy), (bd, clampz(bzx - step), bzy),
+                (bd, bzx, clampz(bzy + step)), (bd, bzx, clampz(bzy - step)),
                 (bd - step, bzx, bzy), (bd + step, bzx, bzy),
             ]
             state = plane_best_of(state, cands)
