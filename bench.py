@@ -50,6 +50,16 @@ def run_pipeline(scene_path: str, out_dir: str, verbose: bool = False) -> dict:
     t["sfm_s"] = time.perf_counter() - t0
     if incremental is not None and incremental.last_ba_status is not None:
         t["final_ba_mse"] = float(incremental.last_ba_status.final_mse)
+        t["reproj_rmse"] = float(incremental.last_ba_status.final_mse) ** 0.5
+    # Sub-stage timings + quality counters (the reference prints these at
+    # sfmrecon.cc:100-131; baseline fields reference_features/_cameras).
+    from mve_tpu.apps import sfmrecon as _sfmapp
+
+    for key in ("features_ms", "matching_ms", "incremental_ms",
+                "undistort_ms", "n_features", "n_cameras", "n_tracks"):
+        if key in _sfmapp.LAST_TIMINGS:
+            t[f"sfm_{key}" if key.endswith("_ms") else key] = (
+                _sfmapp.LAST_TIMINGS[key])
 
     t0 = time.perf_counter()
     n_dm = reconstruct_views(
@@ -58,6 +68,10 @@ def run_pipeline(scene_path: str, out_dir: str, verbose: bool = False) -> dict:
         verbose=verbose)
     t["mvs_s"] = time.perf_counter() - t0
     t["n_depth_maps"] = n_dm
+    from mve_tpu.apps import dmrecon as _dmapp
+
+    if "depth_fill" in _dmapp.LAST_STATS:
+        t["depth_fill"] = _dmapp.LAST_STATS["depth_fill"]
 
     t0 = time.perf_counter()
     pset = os.path.join(out_dir, "pset.ply")
@@ -86,6 +100,8 @@ def kernel_throughput() -> dict:
     out = {}
     # Matching: one-way top-2 NN over two 8192x128 descriptor sets — the
     # inner product matrix is 2*N*M*D flops (nearest_neighbor.h math).
+    # Measures BOTH the XLA fallback and the production Pallas kernel
+    # (the path sfm/matching.py takes on TPU, ops/pallas_matching.py).
     from mve_tpu.ops.matching import descriptor_top2 as _top2
 
     descriptor_top2 = jax.jit(_top2)
@@ -93,14 +109,27 @@ def kernel_throughput() -> dict:
     rng = np.random.RandomState(0)
     d1 = jnp.asarray(rng.rand(N, 128).astype(np.float32))
     d2 = jnp.asarray(rng.rand(M, 128).astype(np.float32))
-    jax.block_until_ready(descriptor_top2(d1, d2))
-    t0 = time.perf_counter()
-    reps = 10
-    for _ in range(reps):
-        res = descriptor_top2(d1, d2)
-    jax.block_until_ready(res)
-    dt = (time.perf_counter() - t0) / reps
-    out["matching_tflops"] = round(2.0 * N * M * 128 / dt / 1e12, 3)
+
+    def _time_matcher(fn):
+        jax.block_until_ready(fn(d1, d2))
+        t0 = time.perf_counter()
+        reps = 10
+        for _ in range(reps):
+            res = fn(d1, d2)
+        jax.block_until_ready(res)
+        dt = (time.perf_counter() - t0) / reps
+        return round(2.0 * N * M * 128 / dt / 1e12, 3)
+
+    out["matching_tflops_xla"] = _time_matcher(descriptor_top2)
+    if jax.default_backend() == "tpu":
+        from mve_tpu.ops.pallas_matching import descriptor_top2_pallas
+
+        out["matching_tflops"] = _time_matcher(descriptor_top2_pallas)
+        # v5e fp32-on-MXU peak is ~1/4 of the 197 TFLOP/s bf16 peak.
+        out["matching_pct_v5e_fp32_peak"] = round(
+            100.0 * out["matching_tflops"] / (197.0 / 4.0), 1)
+    else:
+        out["matching_tflops"] = out["matching_tflops_xla"]
 
     # BA: ms per LM iteration, full Schur pipeline on 64 cams/10k points.
     import __graft_entry__ as g

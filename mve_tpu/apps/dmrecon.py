@@ -10,9 +10,16 @@ import argparse
 import os
 import sys
 
+import numpy as np
+
 from ..core import Scene
 from ..mvs import DMRecon, Settings
 from ..utils.timer import WallTimer
+
+# Per-run stats (mean depth-map fill ratio etc.) recorded by
+# reconstruct_views — the analog of the reference's per-view fill
+# printout (libs/dmrecon/dmrecon.cc:149-157), consumed by bench.py.
+LAST_STATS: dict = {}
 
 
 class FancyProgressPrinter:
@@ -73,14 +80,19 @@ def reconstruct_views(scene_path: str, *, scale: int = 0, view_ids=None,
                       process_id: int = 0, num_processes: int = 1,
                       verbose: bool = True,
                       progress: "FancyProgressPrinter | None" = None) -> int:
-    """Per-view MVS; with num_processes > 1, views partition across
-    processes (the distributed analog of the reference's OpenMP view
-    loop, apps/dmrecon/dmrecon.cc:285 — per-view artifacts on shared
-    storage make this restartable and embarrassingly parallel)."""
+    """Batched MVS over views; with num_processes > 1, views partition
+    across processes (the distributed analog of the reference's OpenMP
+    view loop, apps/dmrecon/dmrecon.cc:285 — per-view artifacts on
+    shared storage make this restartable and embarrassingly parallel).
+
+    Same-shape views run through ONE fused solver dispatch per batch
+    (mvs/solver.py) instead of one program per view."""
+    from ..mvs.dmrecon import reconstruct_batch
+
     scene = Scene(scene_path)
     views = scene.get_views()
-    done = 0
     base = settings or Settings()
+    todo = []
     for i, view in enumerate(views):
         if view is None or not view.camera.valid:
             continue
@@ -98,27 +110,22 @@ def reconstruct_views(scene_path: str, *, scale: int = 0, view_ids=None,
             if verbose:
                 print(f"View {i}: depth-L{s} exists, skipping.")
             continue
-        import dataclasses
-        st = dataclasses.replace(base, ref_view_nr=i, scale=s)
-        timer = WallTimer()
-        try:
-            recon = DMRecon(scene, st)
-            if progress is not None:
-                progress.attach(i, recon)
-            recon.start()
-        except (RuntimeError, ValueError) as exc:
-            if verbose:
-                print(f"View {i}: {exc}")
-            continue
-        finally:
-            if progress is not None:
-                progress.detach()
-        view.save_view()
-        view.cache_cleanup()
-        done += 1
-        if verbose:
-            print(f"View {i}: MVS took {timer.get_elapsed()}ms.")
-    return done
+        todo.append((i, s))
+    if not todo:
+        return 0
+    timer = WallTimer()
+    results = reconstruct_batch(scene, base, todo, verbose=verbose)
+    for vid in results:
+        views[vid].save_view()
+        views[vid].cache_cleanup()
+    LAST_STATS.clear()
+    if results:
+        fills = list(results.values())
+        LAST_STATS["depth_fill"] = float(np.mean(fills))
+        LAST_STATS["depth_fill_min"] = float(np.min(fills))
+    if verbose:
+        print(f"MVS took {timer.get_elapsed()}ms for {len(results)} views.")
+    return len(results)
 
 
 def main(argv=None) -> int:

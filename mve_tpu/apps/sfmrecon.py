@@ -28,6 +28,10 @@ from ..sfm.bundler.common import normalize_feature_positions
 RAND_SEED_MATCHING = 0
 RAND_SEED_SFM = 1
 
+# Per-run sub-stage timings + quality counters (the reference prints these
+# at sfmrecon.cc:100-131; bench.py records them for baseline comparison).
+LAST_TIMINGS: dict = {}
+
 
 def _save_features_part(path: str, idxs, viewports) -> None:
     """Persist one process's freshly-computed viewport features."""
@@ -95,6 +99,7 @@ def sfm_reconstruct(scene_path: str, *, max_pixels: int = 6_000_000,
                     log_file: str = "",
                     verbose_ba: bool = False,
                     verbose: bool = True) -> None:
+    LAST_TIMINGS.clear()
     scene = Scene(scene_path)
     views = scene.get_views()
     if len(views) < 2:
@@ -155,6 +160,9 @@ def sfm_reconstruct(scene_path: str, *, max_pixels: int = 6_000_000,
         if verbose:
             print(f"Computed features in {timer.get_elapsed()}ms.")
         log_timing("features", timer.get_elapsed())
+        LAST_TIMINGS["features_ms"] = timer.get_elapsed()
+        LAST_TIMINGS["n_features"] = int(sum(
+            len(vp.positions) for vp in viewports if vp.positions is not None))
 
         if num_processes > 1:
             # Exchange features over shared storage, then shard the pair
@@ -233,6 +241,7 @@ def sfm_reconstruct(scene_path: str, *, max_pixels: int = 6_000_000,
             print(f"Matching took {timer.get_elapsed()}ms; "
                   f"{len(pairwise_matching)} connected pairs.")
         log_timing("matching", timer.get_elapsed())
+        LAST_TIMINGS["matching_ms"] = timer.get_elapsed()
         save_prebundle(viewports, pairwise_matching, prebundle_path)
 
     if skip_sfm:
@@ -287,6 +296,8 @@ def sfm_reconstruct(scene_path: str, *, max_pixels: int = 6_000_000,
         print(f"SfM reconstruction took {timer.get_elapsed()}ms.")
     log_timing("sfm", timer.get_elapsed())
     log_timing("total", total_timer.get_elapsed())
+    LAST_TIMINGS["incremental_ms"] = timer.get_elapsed()
+    timer.reset()
 
     # Save bundle + apply cameras + undistort (sfmrecon.cc:400-444).
     bundle = incremental.create_bundle()
@@ -308,8 +319,11 @@ def sfm_reconstruct(scene_path: str, *, max_pixels: int = 6_000_000,
                 view.set_image(undistorted_name, image_tools.to_byte(np.asarray(undist)))
         view.save_view()
         view.cache_cleanup()
+    n_valid = sum(1 for c in bundle.cameras if c.flen > 0)
+    LAST_TIMINGS["undistort_ms"] = timer.get_elapsed()
+    LAST_TIMINGS["n_cameras"] = int(n_valid)
+    LAST_TIMINGS["n_tracks"] = int(bundle.get_num_features())
     if verbose:
-        n_valid = sum(1 for c in bundle.cameras if c.flen > 0)
         print(f"SfM done: {n_valid}/{len(views)} cameras, "
               f"{bundle.get_num_features()} tracks.")
     return incremental

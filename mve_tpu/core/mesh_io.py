@@ -209,6 +209,8 @@ def save_ply_mesh(mesh: TriangleMesh, path: str, fmt: str = "binary",
     with open(path, "wb") as f:
         f.write(("\n".join(header) + "\n").encode())
         if fmt == "binary":
+            if n == 0:
+                return  # header-only PLY (no vertex rows to write)
             cols = [mesh.vertices.astype("<f4")]
             if use_normals:
                 cols.append(mesh.vertex_normals.astype("<f4"))

@@ -40,14 +40,24 @@ def _pad_rows(arr: np.ndarray, multiple: int = 256) -> np.ndarray:
     return np.pad(arr, ((0, npad - n), (0, 0)))
 
 
-def oneway_match(opts: MatchingOptions, set1: np.ndarray, set2: np.ndarray) -> np.ndarray:
-    """Match each descriptor of set1 into set2 (matching.h:115-146)."""
+def _pallas_mode() -> str:
+    """'on' (TPU backend), 'interpret' (test override), or 'off'."""
+    import os
+
     import jax
 
+    if os.environ.get("MVE_TPU_FORCE_PALLAS_INTERPRET") == "1":
+        return "interpret"
+    return "on" if jax.default_backend() == "tpu" else "off"
+
+
+def oneway_match(opts: MatchingOptions, set1: np.ndarray, set2: np.ndarray) -> np.ndarray:
+    """Match each descriptor of set1 into set2 (matching.h:115-146)."""
     n1, n2 = len(set1), len(set2)
     if n1 == 0 or n2 == 0:
         return np.full(n1, -1, np.int32)
-    if (jax.default_backend() == "tpu" and set1.shape[1] % 128 == 0):
+    mode = _pallas_mode()
+    if mode != "off" and set1.shape[1] % 128 == 0:
         # Fused Pallas kernel: no (N1, N2) score matrix in HBM. Padded
         # reference rows are zero vectors (dot 0 -> dist 2), which can
         # only displace the 2nd best when fewer than 2 real refs exist.
@@ -55,7 +65,8 @@ def oneway_match(opts: MatchingOptions, set1: np.ndarray, set2: np.ndarray) -> n
 
         q = _pad_rows(np.asarray(set1, np.float32), TM)
         r = _pad_rows(np.asarray(set2, np.float32), TN)
-        idx, d1, d2 = descriptor_top2_pallas(jnp.asarray(q), jnp.asarray(r))
+        idx, d1, d2 = descriptor_top2_pallas(
+            jnp.asarray(q), jnp.asarray(r), interpret=(mode == "interpret"))
         idx = np.where(np.asarray(idx)[:n1] < n2, np.asarray(idx)[:n1], -1)
         d1 = np.asarray(d1)[:n1]
         d2 = np.asarray(d2)[:n1]

@@ -75,6 +75,22 @@ def test_dc_scale_adaptive():
     assert bottom > 10 * top, f"not adaptive: top {top}, bottom {bottom}"
     r = np.linalg.norm(v, axis=1)
     assert abs(np.median(r) - 1.0) < 0.05
+    # Crack-freeness ACROSS level transitions: on this mixed-scale input
+    # the octree changes resolution around the equator; boundary edges
+    # (shared by != 2 faces) would betray cracks exactly there. The
+    # surface has open rims only where sample confidence runs out, so
+    # demand the interior (both-side-supported equator band) is closed.
+    cnt = Counter()
+    for f in mesh.faces:
+        for a, b in ((0, 1), (1, 2), (2, 0)):
+            cnt[tuple(sorted((int(f[a]), int(f[b]))))] += 1
+    bad = [e for e, c in cnt.items() if c != 2]
+    band = [e for e in bad
+            if abs(v[e[0], 2]) < 0.25 and abs(v[e[1], 2]) < 0.25]
+    n_band_edges = sum(1 for e in cnt
+                       if abs(v[e[0], 2]) < 0.25 and abs(v[e[1], 2]) < 0.25)
+    assert len(band) <= 0.01 * max(n_band_edges, 1), (
+        f"{len(band)} cracked edges of {n_band_edges} at level transitions")
 
 
 def test_octree_traversal_semantics():
