@@ -31,9 +31,12 @@ from .view_selection import global_view_selection
 
 
 def _to_gray(img: np.ndarray) -> np.ndarray:
+    """Host-side gray conversion (mvs_tools desaturate-luminance); numpy
+    because per-op remote-TPU dispatch dwarfs the arithmetic."""
     f = image_tools.to_float(img)
     if f.shape[2] >= 3:
-        return np.asarray(image_tools.desaturate(f, "luminance"))[:, :, 0]
+        return (0.30 * f[:, :, 0] + 0.59 * f[:, :, 1]
+                + 0.11 * f[:, :, 2]).astype(np.float32)
     return f[:, :, 0]
 
 
@@ -158,11 +161,36 @@ def _prepare_view(scene, s: Settings, views, positions, vis, full_sizes,
     cam_rel = np.stack([views[v].camera.camera_pos() - ref_pos
                         for v in selected]).astype(np.float32)
 
+    # Rectification data per pair (sweep_solver); None entries mean the
+    # pair degenerates (baseline ~ viewing dir) -> warp-solver fallback.
+    from .sweep_solver import rect_margins, rectify_pair
+
+    K_ref = ref_cam.calibration(W, H)
+    margins = rect_margins(H, W)
+    rect = []
+    for v in selected:
+        w2, h2 = _level_dims(*full_sizes[v], s.scale)
+        cam_j = views[v].camera
+        r = rectify_pair(K_ref, ref_cam.rot, ref_cam.trans,
+                         cam_j.calibration(w2, h2), cam_j.rot, cam_j.trans,
+                         margin_yx=margins)
+        if r is not None:
+            # Inverse-rect-depth plane range covering [dmin, dmax] over
+            # the whole ray fan: w' = 1/(L * c), c = e3 . ray_dir.
+            c = ray_world @ r["e3"]
+            cmin = float(np.clip(c.min(), 1e-3, None))
+            cmax = float(np.clip(c.max(), cmin, None))
+            w_lo = 1.0 / (dmax * cmax) * 0.95
+            w_hi = 1.0 / (max(dmin, 1e-6) * cmin) * 1.05
+            r["w0"] = w_lo
+            r["dw"] = max(w_hi - w_lo, 1e-12)  # scaled by D-1 at pack
+        rect.append(r)
+
     return dict(view_id=view_id, ref=ref_level.astype(np.float32),
                 neigh=neigh_imgs, T=np.stack(Ts).astype(np.float32),
                 tvec=np.stack(ts).astype(np.float32), ray_z=ray_z,
                 init_depth=init_depth, dmin=dmin, dmax=dmax,
-                ray_world=ray_world, cam_rel=cam_rel,
+                ray_world=ray_world, cam_rel=cam_rel, rect=rect,
                 n_selected=len(selected))
 
 
@@ -180,10 +208,17 @@ def _solver_params(s: Settings) -> dict:
                 rel_factors=rel_factors), n_abs
 
 
+def _sweep_capable(p, s: Settings) -> bool:
+    """A view can use the sweep solver iff every neighbor rectifies."""
+    return (s.use_sweep and not s.exact_ncc
+            and all(r is not None for r in p["rect"]))
+
+
 def _run_batch(prepared: list, s: Settings):
     """Pad + stack prepared views and run the fused solver once.
 
-    Returns (depth (B,H,W), conf, dz (B,H,W,2), n_accepted (B,)) numpy."""
+    All views in `prepared` must agree on _sweep_capable. Returns
+    (depth (B,H,W), conf, dz (B,H,W,2), n_accepted (B,)) numpy."""
     from .solver import solve_batch
 
     params, n_abs = _solver_params(s)
@@ -192,6 +227,7 @@ def _run_batch(prepared: list, s: Settings):
     Jmax = max(p["T"].shape[0] for p in prepared)
     Hn = max(g.shape[0] for p in prepared for g in p["neigh"])
     Wn = max(g.shape[1] for p in prepared for g in p["neigh"])
+    sweep = _sweep_capable(prepared[0], s)
 
     ref = np.stack([p["ref"] for p in prepared])
     neigh = np.full((B, Jmax, Hn, Wn), -1e3, np.float32)
@@ -217,12 +253,46 @@ def _run_batch(prepared: list, s: Settings):
     scalars = jnp.asarray([s.min_ncc, s.min_parallax, s.accept_ncc,
                            s.min_refine_diff], jnp.float32)
 
-    depth, conf, dz, n_acc = solve_batch(
-        jnp.asarray(ref), jnp.asarray(neigh), jnp.asarray(nvalid),
-        jnp.asarray(T), jnp.asarray(tvec), jnp.asarray(ray_z),
-        jnp.asarray(init_depth), jnp.asarray(dmin), jnp.asarray(dmax),
-        jnp.asarray(abs_planes), jnp.asarray(ray_world),
-        jnp.asarray(cam_rel), scalars, **params)
+    if sweep:
+        from .sweep_solver import solve_batch_sweep
+
+        D = int(s.num_lookup_planes)
+        M_ref = np.tile(np.eye(3, dtype=np.float32), (B, Jmax, 1, 1))
+        M_nei = np.tile(np.eye(3, dtype=np.float32), (B, Jmax, 1, 1))
+        H_fwd = np.tile(np.eye(3, dtype=np.float32), (B, Jmax, 1, 1))
+        e3 = np.zeros((B, Jmax, 3), np.float32)
+        e3[:, :, 2] = 1.0
+        fB = np.ones((B, Jmax), np.float32)
+        w0 = np.zeros((B, Jmax), np.float32)
+        dw = np.ones((B, Jmax), np.float32)
+        for b, p in enumerate(prepared):
+            for j, r in enumerate(p["rect"]):
+                M_ref[b, j] = r["M_ref"]
+                M_nei[b, j] = r["M_nei"]
+                H_fwd[b, j] = r["H_fwd"]
+                e3[b, j] = r["e3"]
+                fB[b, j] = r["fB"]
+                w0[b, j] = r["w0"]
+                dw[b, j] = r["dw"] / max(D - 1, 1)
+        depth, conf, dz, n_acc = solve_batch_sweep(
+            jnp.asarray(ref), jnp.asarray(neigh), jnp.asarray(nvalid),
+            jnp.asarray(T), jnp.asarray(tvec), jnp.asarray(ray_z),
+            jnp.asarray(M_ref), jnp.asarray(M_nei), jnp.asarray(H_fwd),
+            jnp.asarray(e3), jnp.asarray(fB), jnp.asarray(w0),
+            jnp.asarray(dw), jnp.asarray(init_depth), jnp.asarray(dmin),
+            jnp.asarray(dmax), jnp.asarray(ray_world),
+            jnp.asarray(cam_rel), scalars,
+            fw=params["fw"], k=params["k"], D=D, n_prop=params["n_prop"],
+            n_refine=params["n_refine"],
+            n_plane_rounds=params["n_plane_rounds"],
+            use_local=params["use_local"])
+    else:
+        depth, conf, dz, n_acc = solve_batch(
+            jnp.asarray(ref), jnp.asarray(neigh), jnp.asarray(nvalid),
+            jnp.asarray(T), jnp.asarray(tvec), jnp.asarray(ray_z),
+            jnp.asarray(init_depth), jnp.asarray(dmin), jnp.asarray(dmax),
+            jnp.asarray(abs_planes), jnp.asarray(ray_world),
+            jnp.asarray(cam_rel), scalars, **params)
     return (np.asarray(depth), np.asarray(conf), np.asarray(dz),
             np.asarray(n_acc))
 
@@ -278,10 +348,10 @@ def reconstruct_batch(scene: Scene, base: Settings, view_ids,
             if verbose:
                 print(f"View {view_id}: {exc}")
             continue
-        key = (scale, prep["ref"].shape)
+        key = (scale, prep["ref"].shape, _sweep_capable(prep, s))
         groups.setdefault(key, []).append(prep)
 
-    for (scale, (H, W)), prepared in groups.items():
+    for (scale, (H, W), _cap), prepared in groups.items():
         s = dataclasses.replace(base, scale=scale)
         Jmax = max(p["T"].shape[0] for p in prepared)
         bsz = _batch_size_limit(H, W, Jmax, s)
@@ -381,7 +451,9 @@ class DMRecon:
 
 
 def _image_at_level_color(img: np.ndarray, level: int) -> np.ndarray:
-    out = jnp.asarray(image_tools.to_float(img))
+    from .pyramid import half_size_gaussian_np
+
+    out = image_tools.to_float(img)
     for _ in range(level):
-        out = image_tools.rescale_half_size_gaussian(out)
-    return image_tools.to_byte(np.asarray(out))
+        out = half_size_gaussian_np(out)
+    return image_tools.to_byte(out)

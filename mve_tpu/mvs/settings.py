@@ -46,3 +46,10 @@ class Settings:
     local_vs: bool = True          # per-pixel diverse view selection
                                    # (local_view_selection.cc performVS);
                                    # False = plain per-pixel top-k NCC
+    # Rectified plane-sweep scoring (mvs/sweep_solver.py): candidate
+    # NCCs come from per-pair precomputed plane tables (gather-free MXU
+    # lookups) instead of per-candidate warps. Views whose neighbor
+    # pairs cannot be rectified (baseline ~ viewing direction) fall back
+    # to the warp solver automatically. False forces the warp solver.
+    use_sweep: bool = True
+    num_lookup_planes: int = 64    # D: planes per pair table
