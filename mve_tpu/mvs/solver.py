@@ -483,9 +483,10 @@ def _solve_view(ref, neigh, nvalid, T, tvec, ray_z, init_depth, dmin, dmax,
 
     bd = jnp.clip(bd, dmin * 0.5, dmax * 2.0)
 
-    # --- confidence + acceptance (patch_optimization.cc:130-142)
+    # --- confidence + acceptance (patch_optimization.cc:120-142): gate
+    # on the MEAN selected NCC like the reference (per-view dips cause
+    # view replacement there, not rejection).
     conf = jnp.maximum((bs - accept_ncc) / (1.0 - accept_ncc), 0.0)
-    conf = jnp.where(bk >= accept_ncc, conf, 0.0)
     normal = _plane_normals(bd, bzx, bzy, ray_world, fw // 2)
     dotp = -jnp.sum(normal * ray_world, axis=-1)
     conf = jnp.where(dotp >= 0.2, conf, 0.0)

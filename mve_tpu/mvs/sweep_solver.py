@@ -546,9 +546,11 @@ def _solve_view_sweep(ref, neigh, nvalid, T, tvec, ray_z,
     bzx = jnp.clip(_box_sum(gx, 3) / 9.0, -cap, cap)
     bzy = jnp.clip(_box_sum(gy, 3) / 9.0, -cap, cap)
 
-    # --- confidence + acceptance (patch_optimization.cc:130-142)
+    # --- confidence + acceptance (patch_optimization.cc:120-142): the
+    # reference's score is (MEAN selected NCC - acceptNCC)/(1 - accept)
+    # — per-view NCC dips trigger view replacement during optimization
+    # (handled here by the mid-run reselect), not pixel rejection.
     conf = jnp.maximum((bs - accept_ncc) / (1.0 - accept_ncc), 0.0)
-    conf = jnp.where(bk >= accept_ncc, conf, 0.0)
     normal = _plane_normals(bd, bzx, bzy, ray_world, fw // 2)
     dotp = -jnp.sum(normal * ray_world, axis=-1)
     conf = jnp.where(dotp >= 0.2, conf, 0.0)
