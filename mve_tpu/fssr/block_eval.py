@@ -1,0 +1,273 @@
+"""Dense block evaluation of the FSSR implicit function.
+
+The pair-list evaluator (iso_octree.evaluate_at_positions' original
+backend) is TPU-hostile: it sorts tens of millions of (voxel, sample)
+pairs on device for the per-voxel scale filter, gathers pair operands
+through random indices, and scatter-adds into segments — all VPU/memory
+bound with terrible locality.
+
+This module replaces it with the TPU-native formulation: voxels are
+grouped into spatial blocks, each block collects its candidate samples
+(every sample whose influence ball |x-p| < 3*scale touches the block's
+AABB) ON THE HOST with vectorized numpy hashing, and the device then
+runs ONE regular fused kernel per shape bucket:
+
+    (B, V, S) dense:  d = vox[b,v] - samp[b,s]
+                      mask = |d|^2 < 9 scale^2  (exact influence test)
+                      scale filter per (b,v) via bisection for the
+                        count//10-th smallest in-radius scale
+                        (iso_octree.cc:104-112 semantics)
+                      basis/weight/gradient evaluation (basis.py math)
+                      sum over s  ->  (B, V, 10)
+
+No sorts, no gathers, no scatters on device; everything is elementwise
+plus clean S-axis reductions that XLA fuses into a single pass. The
+dense candidate set is ~4-6x the exact pair count, but each element
+costs ~100 fused flops with perfect regularity — orders of magnitude
+faster than the scatter/sort path end to end.
+
+Reference semantics preserved (libs/fssr/iso_octree.cc sample_ifn +
+basis_function.h): influence radius 3*scale, per-voxel scale filter
+keeping samples with scale <= 2 x the 10th-percentile influencing
+scale, and the VoxelData accumulators {value, conf, deriv, scale,
+color}.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_VB = 64            # voxels per eval-block (dense padding unit)
+_SB_MIN = 256       # smallest candidate-sample bucket
+_ELEMS_PER_DISPATCH = 1 << 24  # bound (B, V, S) intermediate size
+
+
+@jax.jit
+def _eval_dense(vox_pos, vox_mask, samp, sidx, s_mask):
+    """Evaluate all (voxel, candidate-sample) pairs of a block chunk.
+
+    vox_pos (B,V,3); vox_mask (B,V) bool; samp (N,13) the whole sample
+    table [pos(3), normal(3), scale, conf, color(3), 2 spare] resident
+    on device; sidx (B,S) int32 candidate rows; s_mask (B,S).
+    Returns (B, V, 10) sums [vw, w, cw, sw, dvw(3), c(3)] — the same
+    layout the pair-list path segment-sums (basis.evaluate_pairs).
+
+    The candidate gather happens ON DEVICE: the host ships only the
+    (B,S) index table (~4 bytes/candidate) instead of 52-byte gathered
+    rows — the host->device link is the scarce resource here.
+    """
+    f32 = jnp.float32
+    rows = samp[sidx]                    # (B,S,13) device gather
+    s_pos = rows[..., 0:3]
+    s_norm = rows[..., 3:6]
+    s_scale = jnp.maximum(rows[..., 6], 1e-12)
+    s_conf = rows[..., 7]
+    s_color = rows[..., 8:11]
+    d = vox_pos[:, :, None, :] - s_pos[:, None, :, :]       # (B,V,S,3)
+    dist2 = jnp.sum(d * d, axis=-1)                          # (B,V,S)
+    s = s_scale[:, None, :]
+    s2 = s * s
+    q = dist2 / s2
+    in_rad = (q < 9.0) & s_mask[:, None, :]
+
+    # --- per-voxel scale filter: bisect the count//10-th smallest
+    # in-radius sample scale; keep scale <= 2x that value.
+    cnt = jnp.sum(in_rad, axis=-1)                           # (B,V)
+    k = cnt // 10
+    smax = jnp.max(jnp.where(s_mask, s_scale, 0.0), axis=-1)  # (B,)
+    lo = jnp.zeros(cnt.shape, f32)
+    hi = jnp.broadcast_to(smax[:, None], cnt.shape).astype(f32)
+
+    def _bisect(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        c = jnp.sum(in_rad & (s <= mid[..., None]), axis=-1)
+        ge = c >= k + 1
+        return jnp.where(ge, lo, mid), jnp.where(ge, mid, hi)
+
+    lo, hi = jax.lax.fori_loop(0, 25, _bisect, (lo, hi))
+    keep = in_rad & (s <= (2.0 * hi)[..., None])
+
+    # --- basis/weight/derivative math (basis.evaluate_pairs, vectorized
+    # over the dense cube; see basis_function.h:23-71).
+    x = jnp.sum(d * s_norm[:, None, :, :], axis=-1)          # (B,V,S)
+    g = jnp.exp(-dist2 / (2.0 * s2))
+    value_norm = 2.0 * jnp.pi * s2 * s2
+    f = x * g / value_norm
+    sq = jnp.sqrt(jnp.maximum(q, 0.0))
+    w = 1.0 - (2.0 / 3.0) * q + (8.0 / 27.0) * q * sq - (1.0 / 27.0) * q * q
+
+    conf = jnp.where(keep, s_conf[:, None, :], 0.0)
+    vw = jnp.sum(f * w * conf, axis=-1)
+    wc = jnp.sum(w * conf, axis=-1)
+
+    # grad f = g/(norm s^2) ((s^2 - x^2) n - x (d - x n)); grad w =
+    # w'(q) 2 d / s^2 with w' = -2/3 + 4/9 sqrt(q) - 2/27 q.
+    d_perp = d - x[..., None] * s_norm[:, None, :, :]
+    grad_f = (g / (value_norm * s2))[..., None] * (
+        (s2 - x * x)[..., None] * s_norm[:, None, :, :]
+        - x[..., None] * d_perp)
+    wprime = -2.0 / 3.0 + (4.0 / 9.0) * sq - (2.0 / 27.0) * q
+    grad_w = (2.0 * wprime / s2)[..., None] * d
+    dvw = jnp.sum((grad_f * w[..., None] + grad_w * f[..., None])
+                  * conf[..., None], axis=-2)                # (B,V,3)
+
+    # Color/scale accumulators: normalized gaussian at sigma = scale/5
+    # (iso_octree.cc:152-158).
+    sigma_c = s / 5.0
+    cw_pair = jnp.exp(-dist2 / (2.0 * sigma_c * sigma_c)) / (
+        sigma_c * jnp.sqrt(2.0 * jnp.pi))
+    cw_pair = jnp.where(keep, cw_pair * s_conf[:, None, :], 0.0)
+    cw = jnp.sum(cw_pair, axis=-1)
+    sw = jnp.sum(cw_pair * s, axis=-1)
+    c = jnp.sum(cw_pair[..., None] * s_color[:, None, :, :], axis=-2)
+
+    out = jnp.concatenate([
+        vw[..., None], wc[..., None], cw[..., None], sw[..., None],
+        dvw, c], axis=-1)                                     # (B,V,10)
+    return jnp.where(vox_mask[..., None], out, 0.0)
+
+
+def _expand_sample_blocks(pos, scale, origin, block_w, bdims):
+    """(sample, block-code) entries for every block whose AABB is within
+    each sample's influence radius 3*scale. Vectorized range expansion
+    with an exact point-to-AABB distance test."""
+    r = 3.0 * scale
+    lo = np.floor((pos - r[:, None] - origin) / block_w).astype(np.int64)
+    hi = np.floor((pos + r[:, None] - origin) / block_w).astype(np.int64)
+    lo = np.clip(lo, 0, bdims - 1)
+    hi = np.clip(hi, 0, bdims - 1)
+    span = (hi - lo).max(axis=1)
+    ent_s, ent_b = [], []
+    for m in np.unique(span):
+        sel = np.nonzero(span == m)[0]
+        slo, shi = lo[sel], hi[sel]
+        for dz in range(m + 1):
+            for dy in range(m + 1):
+                for dx in range(m + 1):
+                    c = slo + np.array([dx, dy, dz], np.int64)
+                    ok = (c <= shi).all(axis=1)
+                    if not ok.any():
+                        continue
+                    cc = c[ok]
+                    ss = sel[ok]
+                    # Exact distance from sample to block AABB.
+                    bmin = origin + cc * block_w
+                    dd = np.maximum(bmin - pos[ss], 0.0) \
+                        + np.maximum(pos[ss] - (bmin + block_w), 0.0)
+                    near = np.sum(dd * dd, axis=1) < r[ss] * r[ss]
+                    code = (cc[near, 2] * bdims[1] + cc[near, 1]) \
+                        * bdims[0] + cc[near, 0]
+                    ent_s.append(ss[near])
+                    ent_b.append(code)
+    if not ent_s:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    return np.concatenate(ent_s), np.concatenate(ent_b)
+
+
+def evaluate_positions_blocked(samples, positions: np.ndarray,
+                               block_cells: float = 4.0) -> np.ndarray:
+    """Compute the per-voxel FSSR accumulator sums (V, 10) for arbitrary
+    positions with the dense block kernel. Drop-in replacement for the
+    pair-list + segment-sum path in iso_octree.evaluate_at_positions."""
+    positions = np.asarray(positions, np.float64)
+    V = len(positions)
+    pos = samples.pos.astype(np.float64)
+    scale = samples.scale.astype(np.float64)
+    sums = np.zeros((V, 10), np.float64)
+    if V == 0 or len(pos) == 0:
+        return sums
+
+    h = float(np.median(scale))
+    block_w = block_cells * max(h, 1e-12)
+    origin = positions.min(axis=0) - block_w
+    pb = np.floor((positions - origin) / block_w).astype(np.int64)
+    bdims = pb.max(axis=0) + 2
+    bcode = (pb[:, 2] * bdims[1] + pb[:, 1]) * bdims[0] + pb[:, 0]
+    order = np.argsort(bcode, kind="stable")
+    bcode_s = bcode[order]
+    ublocks, bstart = np.unique(bcode_s, return_index=True)
+    bcount = np.diff(np.append(bstart, len(bcode_s)))
+
+    ent_s, ent_b = _expand_sample_blocks(pos, scale, origin, block_w, bdims)
+    # Keep only entries touching populated blocks.
+    j = np.searchsorted(ublocks, ent_b)
+    j = np.clip(j, 0, len(ublocks) - 1)
+    okb = ublocks[j] == ent_b
+    ent_s, ent_blk = ent_s[okb], j[okb]
+    eorder = np.argsort(ent_blk, kind="stable")
+    ent_s = ent_s[eorder]
+    ent_blk = ent_blk[eorder]
+    scount = np.bincount(ent_blk, minlength=len(ublocks))
+    sstart = np.concatenate([[0], np.cumsum(scount)[:-1]])
+
+    # Split each block's voxel list into eval-rows of <= _VB voxels.
+    nch = (bcount + _VB - 1) // _VB
+    eb_block = np.repeat(np.arange(len(ublocks)), nch)
+    within = np.arange(len(eb_block)) - np.repeat(np.cumsum(nch) - nch, nch)
+    eb_vstart = bstart[eb_block] + within * _VB
+    eb_vcount = np.minimum(bcount[eb_block] - within * _VB, _VB)
+    eb_scount = scount[eb_block]
+
+    # Bucket eval-rows by candidate-sample count (pow2 shapes).
+    sb = np.maximum(_SB_MIN, 1 << np.ceil(
+        np.log2(np.maximum(eb_scount, 1))).astype(np.int64))
+
+    # Whole sample table once on device (padded pow2 rows): the per-
+    # dispatch traffic is then just the int32 index tables.
+    Nb = 1 << max(8, int(np.ceil(np.log2(len(pos)))))
+    table = np.zeros((Nb, 13), np.float32)
+    table[:len(pos), 0:3] = pos
+    table[:len(pos), 3:6] = samples.normal
+    table[:len(pos), 6] = scale
+    table[:len(pos), 7] = samples.confidence
+    table[:len(pos), 8:11] = samples.color
+    d_table = jnp.asarray(table)
+    pos32 = positions.astype(np.float32)
+
+    pending = []  # (device result, vidx, vmask, n_valid)
+    for SB in np.unique(sb):
+        rows = np.nonzero(sb == SB)[0]
+        ne = len(rows)
+        SBi = int(SB)
+        # ONE dispatch shape (B, _VB, SB) per SB bucket: compile count is
+        # bounded by the handful of pow2 SB values, not by run sizes.
+        B = max(1, _ELEMS_PER_DISPATCH // (_VB * SBi))
+        for c0 in range(0, ne, B):
+            sel = rows[c0:c0 + B]
+            npad = B - len(sel)
+            vs = eb_vstart[sel]
+            vc = eb_vcount[sel]
+            ar = np.arange(_VB)
+            vidx = order[np.minimum(vs[:, None] + ar[None, :],
+                                    len(order) - 1)]
+            vmask = ar[None, :] < vc[:, None]
+            ss = sstart[eb_block[sel]]
+            sc = eb_scount[sel]
+            ar_s = np.arange(SBi)
+            sidx = ent_s[np.minimum(ss[:, None] + ar_s[None, :],
+                                    max(len(ent_s) - 1, 0))]
+            smask = ar_s[None, :] < sc[:, None]
+            if npad:
+                zpadv = np.zeros((npad, _VB), np.int64)
+                vidx = np.concatenate([vidx, zpadv])
+                vmask = np.concatenate([vmask, zpadv.astype(bool)])
+                zpads = np.zeros((npad, SBi), np.int64)
+                sidx = np.concatenate([sidx, zpads])
+                smask = np.concatenate([smask, zpads.astype(bool)])
+            out = _eval_dense(
+                jnp.asarray(pos32[vidx]), jnp.asarray(vmask),
+                d_table, jnp.asarray(sidx.astype(np.int32)),
+                jnp.asarray(smask))
+            pending.append((out, vidx, vmask, len(sel)))
+    # One sync at the end: device compute overlaps the host-side table
+    # assembly of subsequent dispatches.
+    for out, vidx, vmask, n in pending:
+        res = np.asarray(out, np.float64)
+        m = vmask[:n]
+        sums[vidx[:n][m]] = res[:n][m]
+    return sums

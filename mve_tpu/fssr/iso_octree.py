@@ -72,10 +72,22 @@ def evaluate_at_positions(samples: SampleList, positions: np.ndarray,
     positions = np.asarray(positions, np.float64)
     V = len(positions)
     N = len(pos)
+
+    import os
+    from ..utils.tracing import trace_stage
+
+    if os.environ.get("MVE_TPU_FSSR_PAIRWISE") != "1":
+        # Production path: dense block kernel — no device sorts, gathers
+        # or scatter-adds (see block_eval.py).
+        from .block_eval import evaluate_positions_blocked
+
+        with trace_stage("fssr.block_eval"):
+            sums = evaluate_positions_blocked(samples, positions)
+        return _normalize_sums(sums)
+
     h = float(np.median(scale))
 
     from .. import native as _native
-    from ..utils.tracing import trace_stage
 
     with trace_stage("fssr.influence_pairs"):
         native_pairs = _native.fssr_influence_pairs(positions, pos, scale)
@@ -116,15 +128,20 @@ def evaluate_at_positions(samples: SampleList, positions: np.ndarray,
                 jax.lax.dynamic_slice_in_dim(keep, start, CHUNK))
             sums_dev = out if sums_dev is None else sums_dev + out
         sums = np.asarray(sums_dev, np.float64)[:V]
+    return _normalize_sums(sums)
+
+
+def _normalize_sums(sums: np.ndarray) -> dict:
+    """Accumulator sums (V, 10) -> VoxelData fields.
+
+    F = sum(f w c)/sum(w c); the derivative keeps the dominant quotient
+    term (exact at the zero crossing, iso_octree.cc:121-169)."""
     value = sums[:, 0]
     conf = sums[:, 1]
     cw_total = sums[:, 2]
     sw_total = sums[:, 3]
     deriv = sums[:, 4:7]
     col = sums[:, 7:10]
-
-    # F = sum(f w c)/sum(w c); the derivative keeps the dominant quotient
-    # term (exact at the zero crossing, iso_octree.cc:121-169).
     w_safe = np.where(conf > 0, conf, 1.0)
     cw_safe = np.where(cw_total > 0, cw_total, 1.0)
     return {
