@@ -303,6 +303,12 @@ def sfm_reconstruct(scene_path: str, *, max_pixels: int = 6_000_000,
     bundle = incremental.create_bundle()
     scene.set_bundle(bundle)
     scene.save_bundle()
+    # Undistortion runs as ONE batched device program per image shape
+    # (sfmrecon.cc:403-444 is an OpenMP loop over views; the batch axis
+    # is the TPU-native parallel axis). Views with zero distortion copy
+    # the original bytes — the warp is the identity there.
+    todo = []  # (view, cam, original) needing the device warp
+    groups: dict = {}
     for i, view in enumerate(views):
         if view is None:
             continue
@@ -311,14 +317,32 @@ def sfm_reconstruct(scene_path: str, *, max_pixels: int = 6_000_000,
             continue
         view.set_camera(cam)
         if undistorted_name and cam.flen > 0:
-            original = view.get_byte_image(original_name)
-            if original is not None:
-                undist = image_tools.image_undistort_k2k4(
-                    image_tools.to_float(original), float(cam.flen),
-                    float(cam.dist[0]), float(cam.dist[1]))
-                view.set_image(undistorted_name, image_tools.to_byte(np.asarray(undist)))
+            if float(cam.dist[0]) == 0.0 and float(cam.dist[1]) == 0.0:
+                # Identity warp: duplicate the original's file (no
+                # decode/re-encode) when possible.
+                if not view.copy_image_file(original_name, undistorted_name):
+                    original = view.get_byte_image(original_name)
+                    if original is not None:
+                        view.set_image(undistorted_name, original)
+            else:
+                original = view.get_byte_image(original_name)
+                if original is not None:
+                    groups.setdefault(original.shape, []).append(
+                        (view, cam, original))
+                    continue  # save after the batched warp
         view.save_view()
         view.cache_cleanup()
+    for shape, items in groups.items():
+        imgs = np.stack([orig for _, _, orig in items])
+        flen = np.asarray([float(c.flen) for _, c, _ in items], np.float32)
+        k2 = np.asarray([float(c.dist[0]) for _, c, _ in items], np.float32)
+        k4 = np.asarray([float(c.dist[1]) for _, c, _ in items], np.float32)
+        und = np.asarray(image_tools.image_undistort_k2k4_batch(
+            imgs, flen, k2, k4))
+        for (view, cam, _), u in zip(items, und):
+            view.set_image(undistorted_name, u)
+            view.save_view()
+            view.cache_cleanup()
     n_valid = sum(1 for c in bundle.cameras if c.flen > 0)
     LAST_TIMINGS["undistort_ms"] = timer.get_elapsed()
     LAST_TIMINGS["n_cameras"] = int(n_valid)

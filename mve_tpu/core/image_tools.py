@@ -257,6 +257,45 @@ def _undistort_common(img, rd_func):
     return bilinear_sample(img, jnp.stack([sx, sy], axis=-1))
 
 
+def image_undistort_k2k4_batch(imgs, flen, k2, k4):
+    """Batched k2/k4 undistortion: ONE fused device program for a whole
+    stack of same-shape views (sfmrecon.cc:403-444 is the reference's
+    OpenMP per-view loop; here the batch IS the parallel axis).
+
+    imgs: (B, H, W, C) uint8 (converted to float on device, halving the
+    host->device traffic) or float; flen/k2/k4: (B,) per-view params.
+    Returns (B, H, W, C) uint8.
+    """
+    imgs = jnp.asarray(imgs)
+    return _undistort_k2k4_batch_impl(
+        imgs, jnp.asarray(flen, jnp.float32), jnp.asarray(k2, jnp.float32),
+        jnp.asarray(k4, jnp.float32))
+
+
+@jax.jit
+def _undistort_k2k4_batch_impl(imgs, flen, k2, k4):
+    f = imgs.astype(jnp.float32)
+    if imgs.dtype == jnp.uint8:
+        f = f / 255.0
+
+    def one(img, fl, a2, a4):
+        h, w = img.shape[0], img.shape[1]
+        fw, fh = float(w), float(h)
+        ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                              jnp.arange(w, dtype=jnp.float32), indexing="ij")
+        cx = (xs + 0.5) - fw / 2.0
+        cy = (ys + 0.5) - fh / 2.0
+        norm = fl * jnp.maximum(fw, fh)
+        r2 = (cx * cx + cy * cy) / (norm * norm)
+        factor = 1.0 + a2 * r2 + a4 * r2 * r2
+        sx = cx * factor + fw / 2.0 - 0.5
+        sy = cy * factor + fh / 2.0 - 0.5
+        return bilinear_sample(img, jnp.stack([sx, sy], axis=-1))
+
+    out = jax.vmap(one)(f, flen, k2, k4)
+    return jnp.clip(out * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
+
+
 def image_undistort_k2k4(img, focal_length: float, k2: float, k4: float):
     """MVE/bundler model: rd(r) = 1 + k2 r^2 + k4 r^4 with r in unit
     normalized coordinates (divided by flen * max_dim)."""

@@ -180,6 +180,33 @@ class View:
         proxy.data = image
         proxy.dirty = True
 
+    def copy_image_file(self, src: str, dst: str) -> bool:
+        """Duplicate embedding `src`'s on-disk file as embedding `dst`
+        without a decode/re-encode round trip (identity undistortion in
+        sfmrecon writes megabytes of pixels it never touched). Only
+        possible when `src` is clean and file-backed; returns False
+        otherwise so the caller can fall back to set_image."""
+        if dst == "original":
+            raise ValueError('the "original" embedding is immutable')
+        proxy = self._images.get(src)
+        if (proxy is None or proxy.dirty or not proxy.filename
+                or not self._path):
+            return False
+        import shutil
+
+        ext = os.path.splitext(proxy.filename)[1]
+        new_fname = dst + ext
+        shutil.copyfile(os.path.join(self._path, proxy.filename),
+                        os.path.join(self._path, new_fname))
+        old = self._images.get(dst)
+        if old is not None and old.filename and old.filename != new_fname:
+            try:
+                os.unlink(os.path.join(self._path, old.filename))
+            except FileNotFoundError:
+                pass
+        self._images[dst] = _Proxy(dst, filename=new_fname)
+        return True
+
     def remove_image(self, name: str) -> bool:
         proxy = self._images.pop(name, None)
         if proxy is None:

@@ -163,17 +163,21 @@ def _prepare_view(scene, s: Settings, views, positions, vis, full_sizes,
 
     # Rectification data per pair (sweep_solver); None entries mean the
     # pair degenerates (baseline ~ viewing dir) -> warp-solver fallback.
-    from .sweep_solver import rect_margins, rectify_pair
+    # Each pair's rect grid is FITTED to cover the whole mapped ref image
+    # (rect_wh); _run_batch buckets the max over its batch into the
+    # static grid shape.
+    from .sweep_solver import rectify_pair
 
     K_ref = ref_cam.calibration(W, H)
-    margins = rect_margins(H, W)
     rect = []
     for v in selected:
         w2, h2 = _level_dims(*full_sizes[v], s.scale)
         cam_j = views[v].camera
         r = rectify_pair(K_ref, ref_cam.rot, ref_cam.trans,
                          cam_j.calibration(w2, h2), cam_j.rot, cam_j.trans,
-                         margin_yx=margins)
+                         image_wh=(W, H))
+        if r is not None and max(r["rect_wh"]) > 4 * max(H, W):
+            r = None  # extreme rectification: grid would explode
         if r is not None:
             # Inverse-rect-depth plane range covering [dmin, dmax] over
             # the whole ray fan: w' = 1/(L * c), c = e3 . ray_dir.
@@ -265,6 +269,7 @@ def _run_batch(prepared: list, s: Settings):
         fB = np.ones((B, Jmax), np.float32)
         w0 = np.zeros((B, Jmax), np.float32)
         dw = np.ones((B, Jmax), np.float32)
+        rect_w = rect_h = 1
         for b, p in enumerate(prepared):
             for j, r in enumerate(p["rect"]):
                 M_ref[b, j] = r["M_ref"]
@@ -274,6 +279,11 @@ def _run_batch(prepared: list, s: Settings):
                 fB[b, j] = r["fB"]
                 w0[b, j] = r["w0"]
                 dw[b, j] = r["dw"] / max(D - 1, 1)
+                rect_w = max(rect_w, r["rect_wh"][0])
+                rect_h = max(rect_h, r["rect_wh"][1])
+        # Bucket the fitted grid to multiples of 32: one compiled program
+        # serves every batch whose pairs fit the same bucket.
+        rect_hw = (-(-rect_h // 32) * 32, -(-rect_w // 32) * 32)
         depth, conf, dz, n_acc = solve_batch_sweep(
             jnp.asarray(ref), jnp.asarray(neigh), jnp.asarray(nvalid),
             jnp.asarray(T), jnp.asarray(tvec), jnp.asarray(ray_z),
@@ -285,7 +295,7 @@ def _run_batch(prepared: list, s: Settings):
             fw=params["fw"], k=params["k"], D=D, n_prop=params["n_prop"],
             n_refine=params["n_refine"],
             n_plane_rounds=params["n_plane_rounds"],
-            use_local=params["use_local"])
+            use_local=params["use_local"], rect_hw=rect_hw)
     else:
         depth, conf, dz, n_acc = solve_batch(
             jnp.asarray(ref), jnp.asarray(neigh), jnp.asarray(nvalid),

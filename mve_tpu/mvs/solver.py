@@ -189,6 +189,37 @@ def _parallax_weight(cos_ang):
     return jnp.exp(-((plx - 20.0) ** 2) / (2.0 * sigma * sigma))
 
 
+def _topk_views(ncc, nvalid, k):
+    """Per-pixel k best views by raw NCC (no quality/parallax gates).
+
+    The OPTIMIZATION fallback where the strict local view selection
+    fails: a pixel whose current depth estimate is wrong has no views
+    with NCC >= min_ncc, so the strict selection is empty and every
+    candidate would score -1 — PatchMatch could then never test the
+    good depths its neighbors propagate in. Scoring through the k
+    least-bad views keeps the objective defined everywhere; final
+    ACCEPTANCE still requires a strict selection at the converged depth
+    (local_view_selection.cc success semantics)."""
+    masked = jnp.where(nvalid[:, None, None], ncc, -1e30)
+    vals, idx = jax.lax.top_k(jnp.moveaxis(masked, 0, -1), k)  # (H, W, k)
+    sel = jnp.moveaxis(idx, -1, 0).astype(jnp.int32)
+    valid = jnp.moveaxis(vals, -1, 0) > -1e29
+    return sel, valid
+
+
+def _reselect_with_fallback(ncc, nvalid, depth, ray_world, cam_rel, k,
+                            min_ncc, min_parallax):
+    """Strict per-pixel view selection, falling back to the k best raw
+    NCC views where the strict selection found fewer than k."""
+    sel, sel_valid = _local_view_selection(
+        ncc, nvalid, depth, ray_world, cam_rel, k, min_ncc, min_parallax)
+    loose_sel, loose_valid = _topk_views(ncc, nvalid, k)
+    strict_ok = sel_valid.all(axis=0)
+    sel = jnp.where(strict_ok[None], sel, loose_sel)
+    sel_valid = jnp.where(strict_ok[None], sel_valid, loose_valid)
+    return sel, sel_valid
+
+
 def _local_view_selection(ncc, nvalid, depth, ray_world, cam_rel, k,
                           min_ncc, min_parallax):
     """Greedy per-pixel selection of k diverse views.
@@ -323,10 +354,9 @@ def _solve_view(ref, neigh, nvalid, T, tvec, ray_z, init_depth, dmin, dmax,
         def reselect(d):
             ncc, _ = _ncc_box_all(ref, rstats, neigh, nvalid, T, tvec,
                                   ray_z, d[None], fw)
-            sel, sel_valid = _local_view_selection(
+            return _reselect_with_fallback(
                 ncc[:, 0], nvalid, d, ray_world, cam_rel, k,
                 min_ncc, min_parallax)
-            return sel, sel_valid
 
         sel, sel_valid = reselect(best[0])
         s1, k1 = score_sel(best[0][None], sel, sel_valid)
@@ -482,6 +512,20 @@ def _solve_view(ref, neigh, nvalid, T, tvec, ray_z, init_depth, dmin, dmax,
         bzx, bzy = zeros, zeros
 
     bd = jnp.clip(bd, dmin * 0.5, dmax * 2.0)
+
+    # --- final STRICT view selection at the converged depth: the
+    # optimization above may have scored through the loose top-k
+    # fallback (_reselect_with_fallback); acceptance keeps the
+    # reference's semantics — a pixel needs a successful local view
+    # selection of k quality views (local_view_selection.cc success).
+    if use_local:
+        ncc_f, _ = _ncc_box_all(ref, rstats, neigh, nvalid, T, tvec,
+                                ray_z, bd[None], fw)
+        sel, sel_valid = _local_view_selection(
+            ncc_f[:, 0], nvalid, bd, ray_world, cam_rel, k,
+            min_ncc, min_parallax)
+        s_f, k_f = plane_score(bd[None], bzx[None], bzy[None])
+        bs, bk = s_f[0], k_f[0]
 
     # --- confidence + acceptance (patch_optimization.cc:120-142): gate
     # on the MEAN selected NCC like the reference (per-view dips cause

@@ -60,25 +60,35 @@ from .solver import (_combine_sel, _combine_topk, _local_view_selection,
 # -----------------------------------------------------------------------
 
 def rect_margins(H: int, W: int):
-    """Rect-grid border margin (per side): the rectifying rotation moves
-    content off an H x W grid at the corners; an extra 1/8 per side keeps
-    it (and with it the border fill) at ~1.56x cube cost."""
+    """Legacy fixed rect-grid margin (superseded by the fitted per-pair
+    grids of rectify_pair with image_wh; kept for API compatibility)."""
     return H // 8, W // 8
 
 
+_RECT_PAD = 4  # rect-grid padding per side (NCC window + bilinear taps)
+
+
 def rectify_pair(K_r, R_r, t_r, K_j, R_j, t_j, min_cross: float = 0.08,
-                 margin_yx=(0, 0)):
+                 margin_yx=(0, 0), image_wh=None):
     """Closed-form rectifying rotation for one (ref, neighbor) pair.
 
-    Returns dict(M_ref, M_nei, H_fwd, e3, fB) or None when the baseline
-    is too close to the reference viewing direction (epipole in view —
-    rectification degenerates; caller falls back to the warp solver).
+    Returns dict(M_ref, M_nei, H_fwd, e3, fB, rect_wh) or None when the
+    baseline is too close to the reference viewing direction (epipole in
+    view — rectification degenerates; caller falls back to the warp
+    solver).
 
     M_ref: rect pixel -> ref pixel homography (for warping ref->rect)
     M_nei: rect pixel -> neighbor pixel homography
     H_fwd: ref pixel -> rect pixel homography (fixed table coords)
     e3:    new z axis in world coords (rect depth z' = L * (e3.dir))
     fB:    f_x * |baseline| — disparity per unit inverse rect depth
+    rect_wh: (w, h) grid size containing the WHOLE ref image under
+        H_fwd. Pixels falling off the rect grid lose this pair entirely
+        and, under the all-k-views acceptance gate, their depth — so
+        when image_wh=(w, h) is given the grid is FITTED: the rect
+        camera's principal point is chosen so the mapped ref-image bbox
+        starts at (_RECT_PAD, _RECT_PAD). Legacy callers pass margin_yx
+        for a fixed shift instead (rect_wh is then None).
     """
     K_r = np.asarray(K_r, np.float64)
     K_j = np.asarray(K_j, np.float64)
@@ -100,8 +110,26 @@ def rectify_pair(K_r, R_r, t_r, K_j, R_j, t_j, min_cross: float = 0.08,
     e3 = np.cross(e1, e2)
     Rn = np.stack([e1, e2, e3])  # world -> rect rotation
     Kn = K_r.copy()
-    Kn[1, 2] += margin_yx[0]  # principal point shift = grid margin
-    Kn[0, 2] += margin_yx[1]
+    rect_wh = None
+    if image_wh is not None:
+        # Fit: map the ref image corners with the UNSHIFTED rect camera,
+        # then place the principal point so the bbox sits at the pad.
+        w, h = image_wh
+        Hf0 = Kn @ Rn @ R_r.T @ np.linalg.inv(K_r)
+        c = np.array([[0.5, 0.5, 1.0], [w - 0.5, 0.5, 1.0],
+                      [0.5, h - 0.5, 1.0], [w - 0.5, h - 0.5, 1.0]]).T
+        m = Hf0 @ c
+        if (m[2] <= 1e-9).any():
+            return None  # a ref corner maps behind the rect camera
+        uv = (m[:2] / m[2]).T
+        lo = np.floor(uv.min(axis=0)) - _RECT_PAD
+        hi = np.ceil(uv.max(axis=0)) + _RECT_PAD
+        Kn[0, 2] -= lo[0]
+        Kn[1, 2] -= lo[1]
+        rect_wh = (int(hi[0] - lo[0] + 1), int(hi[1] - lo[1] + 1))
+    else:
+        Kn[1, 2] += margin_yx[0]  # principal point shift = grid margin
+        Kn[0, 2] += margin_yx[1]
     M_ref = K_r @ R_r @ Rn.T @ np.linalg.inv(Kn)
     M_nei = K_j @ R_j @ Rn.T @ np.linalg.inv(Kn)
     H_fwd = Kn @ Rn @ R_r.T @ np.linalg.inv(K_r)
@@ -109,7 +137,7 @@ def rectify_pair(K_r, R_r, t_r, K_j, R_j, t_j, min_cross: float = 0.08,
     return dict(M_ref=M_ref.astype(np.float32),
                 M_nei=M_nei.astype(np.float32),
                 H_fwd=H_fwd.astype(np.float32),
-                e3=e3.astype(np.float32), fB=fB)
+                e3=e3.astype(np.float32), fB=fB, rect_wh=rect_wh)
 
 
 # -----------------------------------------------------------------------
@@ -297,7 +325,7 @@ def _solve_view_sweep(ref, neigh, nvalid, T, tvec, ray_z,
                       M_ref, M_nei, H_fwd, e3, fB, w0, dw,
                       init_depth, dmin, dmax, ray_world, cam_rel, scalars, *,
                       fw, k, D, n_prop, n_refine, n_plane_rounds, use_local,
-                      chunk):
+                      chunk, rect_hw=None):
     """One reference view end-to-end with table-lookup scoring."""
     H, W = ref.shape
     J = neigh.shape[0]
@@ -307,8 +335,11 @@ def _solve_view_sweep(ref, neigh, nvalid, T, tvec, ray_z,
 
     # --- per-pair tables (rectify -> sweep -> reindex)
     c_j = jnp.einsum("jc,hwc->jhw", e3, ray_world)       # rect z cosine
-    my, mx = rect_margins(H, W)
-    Hr, Wr = H + 2 * my, W + 2 * mx
+    if rect_hw is None:  # legacy fixed margins
+        my, mx = rect_margins(H, W)
+        Hr, Wr = H + 2 * my, W + 2 * mx
+    else:
+        Hr, Wr = rect_hw
 
     def build_pair(args):
         nei, Mr, Mn, Hf, fb, w0j, dwj = args
@@ -512,9 +543,25 @@ def _solve_view_sweep(ref, neigh, nvalid, T, tvec, ray_z,
             return _combine_sel(jnp.where(ok_s, ncc_s, -1.0), ok_s)
         return _combine_topk(ncc_x, ok_x, k)
 
+    # Reselect views from EXACT NCC first: pixels whose rect tables were
+    # partially invalid (off-grid taps, shift margins) but whose TRUE
+    # warps are fine — borders, mostly — regain their views here, and
+    # with them acceptance (local_view_selection.cc re-runs selection on
+    # real patch scores too).
+    if use_local:
+        ncc_x0, _ = _ncc_box_all(ref, rstats, neigh, nvalid, T, tvec,
+                                 ray_z, bd[None], fw)
+        sel, sel_valid = _local_view_selection(
+            ncc_x0[:, 0], nvalid, bd, ray_world, cam_rel, k,
+            min_ncc, min_parallax)
+
     s_now, k_now = score_exact(bd[None])
     bs, bk = s_now[0], k_now[0]
-    for eps in (0.01, 0.004):
+    # Three parabolic polish rounds: the lookup phase's piecewise-linear
+    # scores snap depths to inverse-depth plane nodes (up to ~4-5%
+    # relative at the far end of a D=64 table), so the exact polish must
+    # be able to move that far.
+    for eps in (0.025, 0.01, 0.004):
         d_lo = bd * (1.0 - eps)
         d_hi = bd * (1.0 + eps)
         both, both_k = score_exact(jnp.stack([d_lo, d_hi]))
@@ -564,21 +611,24 @@ def _solve_view_sweep(ref, neigh, nvalid, T, tvec, ray_z,
 @functools.partial(
     jax.jit,
     static_argnames=("fw", "k", "D", "n_prop", "n_refine", "n_plane_rounds",
-                     "use_local", "chunk"))
+                     "use_local", "chunk", "rect_hw"))
 def solve_batch_sweep(ref, neigh, nvalid, T, tvec, ray_z,
                       M_ref, M_nei, H_fwd, e3, fB, w0, dw,
                       init_depth, dmin, dmax, ray_world, cam_rel, scalars, *,
                       fw: int, k: int, D: int, n_prop: int, n_refine: int,
-                      n_plane_rounds: int, use_local: bool, chunk: int = 8):
+                      n_plane_rounds: int, use_local: bool, chunk: int = 8,
+                      rect_hw=None):
     """Batched rectified-sweep reconstruction (one device program).
 
     Shapes as solver.solve_batch plus per-pair rectification data:
     M_ref/M_nei/H_fwd: (B, J, 3, 3); e3: (B, J, 3); fB/w0/dw: (B, J).
+    rect_hw: static (Hr, Wr) rect-grid size fitted on the host to cover
+    every pair's mapped ref image (rectify_pair rect_wh).
     """
     fn = functools.partial(
         _solve_view_sweep, fw=fw, k=k, D=D, n_prop=n_prop,
         n_refine=n_refine, n_plane_rounds=n_plane_rounds,
-        use_local=use_local, chunk=chunk)
+        use_local=use_local, chunk=chunk, rect_hw=rect_hw)
     return jax.vmap(fn, in_axes=(0,) * 18 + (None,))(
         ref, neigh, nvalid, T, tvec, ray_z, M_ref, M_nei, H_fwd, e3, fB,
         w0, dw, init_depth, dmin, dmax, ray_world, cam_rel, scalars)

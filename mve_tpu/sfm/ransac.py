@@ -14,6 +14,7 @@ from __future__ import annotations
 import dataclasses
 
 import numpy as np
+import jax as _jax
 import jax.numpy as jnp
 
 from . import fundamental as fu
@@ -126,23 +127,45 @@ def ransac_pose_p3p(points_3d, points_2d, K, opts: RansacOptions | None = None,
 
     B = opts.max_iterations
     idx = _sample_indices(rng, n, 3, B)
-    Rs, ts, valid = p3p_mod.pose_p3p(
-        jnp.asarray(points_3d[idx], jnp.float32), jnp.asarray(bearings[idx], jnp.float32))
-    # Score: reprojection error in normalized image coords for all
-    # (B, 4) candidate poses over all N points.
-    X = jnp.asarray(points_3d, jnp.float32)  # (N, 3)
-    Kj = jnp.asarray(K, jnp.float32)
-    pc = jnp.einsum("bkij,nj->bkni", Rs, X) + ts[:, :, None, :]  # (B,4,N,3)
-    z_ok = pc[..., 2] > 1e-9
-    proj = jnp.einsum("ij,bknj->bkni", Kj, pc)
-    uv = proj[..., :2] / jnp.where(jnp.abs(proj[..., 2:]) < 1e-20, 1e-20, proj[..., 2:])
-    err = jnp.linalg.norm(uv - jnp.asarray(points_2d, jnp.float32)[None, None], axis=-1)
-    inl = (err < opts.threshold) & z_ok & valid[..., None]
-    counts = np.asarray(inl.sum(axis=-1))  # (B, 4)
-    bi, bk = np.unravel_index(np.argmax(counts), counts.shape)
-    best_mask = np.asarray(inl)[bi, bk]
+    # ONE fused device program: P3P solves for all B samples, (B, 4)
+    # pose scoring over all N points, argmax — a single tunnel round
+    # trip per call instead of an eager op chain. N is padded to powers
+    # of two so an incremental SfM run compiles O(log N) variants.
+    Nb = 1 << max(6, int(np.ceil(np.log2(n))))
+    X = np.zeros((Nb, 3), np.float32)
+    X[:n] = points_3d
+    p2d = np.zeros((Nb, 2), np.float32)
+    p2d[:n] = points_2d
+    valid_n = np.arange(Nb) < n
+    R, t, best_mask = _p3p_solve_score(
+        jnp.asarray(points_3d[idx], jnp.float32),
+        jnp.asarray(bearings[idx], jnp.float32),
+        jnp.asarray(X), jnp.asarray(p2d), jnp.asarray(valid_n),
+        jnp.asarray(K, jnp.float32),
+        jnp.asarray(opts.threshold, jnp.float32))
+    best_mask = np.asarray(best_mask)[:n]
     return RansacPoseResult(
-        R=np.asarray(Rs)[bi, bk].astype(np.float64),
-        t=np.asarray(ts)[bi, bk].astype(np.float64),
+        R=np.asarray(R, np.float64),
+        t=np.asarray(t, np.float64),
         inliers=np.nonzero(best_mask)[0].astype(np.int32),
     )
+
+
+@_jax.jit
+def _p3p_solve_score(sample_X, sample_bearing, X, p2d, valid_n, K, threshold):
+    """P3P hypotheses + inlier scoring + best-pose selection, fused.
+
+    sample_X/sample_bearing: (B, 3, 3); X: (Nb, 3) padded points; p2d:
+    (Nb, 2); valid_n: (Nb,). Returns (R (3,3), t (3,), mask (Nb,))."""
+    Rs, ts, valid = p3p_mod.pose_p3p(sample_X, sample_bearing)
+    pc = jnp.einsum("bkij,nj->bkni", Rs, X) + ts[:, :, None, :]  # (B,4,N,3)
+    z_ok = pc[..., 2] > 1e-9
+    proj = jnp.einsum("ij,bknj->bkni", K, pc)
+    uv = proj[..., :2] / jnp.where(
+        jnp.abs(proj[..., 2:]) < 1e-20, 1e-20, proj[..., 2:])
+    err = jnp.linalg.norm(uv - p2d[None, None], axis=-1)
+    inl = (err < threshold) & z_ok & valid[..., None] & valid_n[None, None]
+    counts = inl.sum(axis=-1)                                   # (B, 4)
+    flat = jnp.argmax(counts.reshape(-1))
+    bi, bk = flat // 4, flat % 4
+    return Rs[bi, bk], ts[bi, bk], inl[bi, bk]

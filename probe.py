@@ -14,15 +14,26 @@ os.makedirs(base, exist_ok=True)
 stage = sys.argv[1] if len(sys.argv) > 1 else "all"
 
 t0 = time.time()
-if not os.path.isdir(scene) or stage in ("all", "data"):
+if stage == "data" or not os.path.isdir(scene):
+    # Only rebuild when explicitly asked ('data') or missing: a rebuild
+    # rmtree's the scene and discards previous SfM/MVS artifacts.
     bench.build_dataset(scene)
     print(f"[probe] dataset built {time.time()-t0:.1f}s", flush=True)
+    if stage not in ("all", "data", "sfm"):
+        sys.exit(f"[probe] fresh dataset has no SfM/MVS artifacts yet; "
+                 f"run 'probe.py sfm' (and later stages) before "
+                 f"'{stage}'.")
 
 if stage in ("all", "sfm"):
     from mve_tpu.apps.sfmrecon import sfm_reconstruct
     t0 = time.time()
     sfm_reconstruct(scene, verbose=True)
     print(f"[probe] sfm {time.time()-t0:.1f}s", flush=True)
+
+if stage in ("mvs", "pset", "fssr") and not os.path.isfile(
+        os.path.join(scene, "synth_0.out")):
+    sys.exit(f"[probe] scene has no bundle; run 'probe.py sfm' before "
+             f"'{stage}'.")
 
 if stage in ("all", "mvs"):
     from mve_tpu.apps.dmrecon import reconstruct_views

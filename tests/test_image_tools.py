@@ -42,6 +42,23 @@ def test_undistort_k2k4_moves_corners():
     assert out[10, 10, 0] > 0.5
 
 
+def test_undistort_k2k4_batch_matches_single():
+    """The batched (B,H,W,C) undistortion used by sfmrecon must agree
+    with the per-image path, per view, including byte conversion."""
+    rng = np.random.RandomState(3)
+    imgs = (rng.rand(3, 24, 20, 3) * 255).astype(np.uint8)
+    flen = np.array([0.8, 1.0, 1.2], np.float32)
+    k2 = np.array([0.3, -0.1, 0.0], np.float32)
+    k4 = np.array([0.05, 0.0, 0.2], np.float32)
+    batch = np.asarray(it.image_undistort_k2k4_batch(imgs, flen, k2, k4))
+    for b in range(3):
+        single = it.to_byte(np.asarray(it.image_undistort_k2k4(
+            jnp.asarray(it.to_float(imgs[b])), float(flen[b]),
+            float(k2[b]), float(k4[b]))))
+        diff = np.abs(batch[b].astype(int) - single.astype(int))
+        assert diff.max() <= 1, f"view {b}: max byte diff {diff.max()}"
+
+
 def test_desaturate_modes():
     img = np.random.rand(4, 4, 3).astype(np.float32)
     for mode in ("luminosity", "luminance", "lightness", "average"):
