@@ -70,8 +70,14 @@ def run_pipeline(scene_path: str, out_dir: str, verbose: bool = False) -> dict:
     t["n_depth_maps"] = n_dm
     from mve_tpu.apps import dmrecon as _dmapp
 
+    # depth_fill is the MEAN accepted-pixel ratio over all views; the
+    # baseline's reference_depth_fill (0.892) is view 0 alone (see
+    # bench_baseline.json reference_depth_fill_note) — compare against
+    # reference_depth_fill_mean (0.7774) and depth_fill_view0.
     if "depth_fill" in _dmapp.LAST_STATS:
         t["depth_fill"] = _dmapp.LAST_STATS["depth_fill"]
+    if "depth_fill_view0" in _dmapp.LAST_STATS:
+        t["depth_fill_view0"] = _dmapp.LAST_STATS["depth_fill_view0"]
 
     t0 = time.perf_counter()
     pset = os.path.join(out_dir, "pset.ply")
@@ -85,6 +91,11 @@ def run_pipeline(scene_path: str, out_dir: str, verbose: bool = False) -> dict:
                             verbose=verbose)
     t["fssr_s"] = time.perf_counter() - t0
     t["n_faces"] = surf.num_faces()
+    from mve_tpu.apps import fssrecon as _fssrapp
+
+    for key in ("load_ms", "eval_ms", "extract_ms", "n_samples", "n_voxels"):
+        if key in _fssrapp.LAST_STATS:
+            t[f"fssr_{key}"] = _fssrapp.LAST_STATS[key]
     t["total_s"] = t["sfm_s"] + t["mvs_s"] + t["pset_s"] + t["fssr_s"]
     return t
 
@@ -210,7 +221,12 @@ def run_measurement():
     try:
         stats.update(kernel_throughput())
     except Exception as exc:  # throughput probes must not sink the bench
-        sys.stderr.write(f"kernel_throughput failed: {exc}\n")
+        # ... but their failure must be VISIBLE in the recorded result
+        # (round 3 lost matching_tflops/ba_ms_per_lm_iter silently).
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        stats["kernel_metrics_error"] = f"{type(exc).__name__}: {exc}"[:300]
 
     baseline_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "bench_baseline.json")

@@ -123,6 +123,8 @@ def reconstruct_views(scene_path: str, *, scale: int = 0, view_ids=None,
         fills = list(results.values())
         LAST_STATS["depth_fill"] = float(np.mean(fills))
         LAST_STATS["depth_fill_min"] = float(np.min(fills))
+        if 0 in results:
+            LAST_STATS["depth_fill_view0"] = float(results[0])
     if verbose:
         print(f"MVS took {timer.get_elapsed()}ms for {len(results)} views.")
     return len(results)

@@ -17,6 +17,12 @@ from ..fssr import IsoOctree, IsoSurface
 from ..fssr.sample import load_samples_from_ply, merge_samples
 from ..utils.timer import WallTimer
 
+#: Sub-stage timings/counters of the most recent fssr_reconstruct call
+#: (ms unless suffixed): load, voxel_set, eval, extract, n_samples,
+#: n_voxels, n_faces. The round-3 FSSR regression went unnoticed for a
+#: round because the bench recorded only the stage total.
+LAST_STATS: dict = {}
+
 
 def fssr_reconstruct(input_paths, output_path: str | None = None, *,
                      scale_factor: float = 1.0, use_hermite: bool | None = None,
@@ -29,6 +35,8 @@ def fssr_reconstruct(input_paths, output_path: str | None = None, *,
 
     if isinstance(input_paths, str):
         input_paths = [input_paths]
+    LAST_STATS.clear()
+    t_load = WallTimer()
     sample_lists = []
     for path in input_paths:
         s = load_samples_from_ply(path, scale_factor)
@@ -36,6 +44,8 @@ def fssr_reconstruct(input_paths, output_path: str | None = None, *,
             print(f"Loaded {len(s)} samples from {path}.")
         sample_lists.append(s)
     samples = merge_samples(sample_lists)
+    LAST_STATS["load_ms"] = t_load.get_elapsed()
+    LAST_STATS["n_samples"] = len(samples)
     # Scale clamping/filtering (fssrecon.cc min-scale/max-scale: smaller
     # samples are clamped up, larger samples are ignored).
     if max_scale > 0.0:
@@ -80,12 +90,16 @@ def fssr_reconstruct(input_paths, output_path: str | None = None, *,
         mesh = dc.extract_mesh()
     else:
         grid = IsoOctree(cell_size=cell_size).compute_voxels(samples)
+        LAST_STATS["eval_ms"] = timer.get_elapsed()
+        LAST_STATS["n_voxels"] = int(len(grid.voxel_codes))
         if verbose:
             print(f"Sampled implicit function at {len(grid.voxel_codes)} voxels, "
                   f"took {timer.get_elapsed()}ms.")
         timer.reset()
         mesh = IsoSurface(grid, use_hermite=use_hermite,
                           interpolation=interpolation).extract_mesh()
+    LAST_STATS["extract_ms"] = timer.get_elapsed()
+    LAST_STATS["n_faces"] = int(mesh.num_faces())
     if verbose:
         print(f"Extracted {mesh.num_faces()} faces, took {timer.get_elapsed()}ms.")
 

@@ -24,17 +24,27 @@ No sorts, no gathers, no scatters on device; everything is elementwise
 plus clean S-axis reductions that XLA fuses into a single pass. The
 dense candidate set is ~4-6x the exact pair count, but each element
 costs ~100 fused flops with perfect regularity — orders of magnitude
-faster than the scatter/sort path end to end.
+faster than the scatter/sort path end to end. The sample table is
+shipped to the device once; per-dispatch traffic is int32 index tables,
+and all dispatches are queued before a single sync.
 
 Reference semantics preserved (libs/fssr/iso_octree.cc sample_ifn +
 basis_function.h): influence radius 3*scale, per-voxel scale filter
 keeping samples with scale <= 2 x the 10th-percentile influencing
 scale, and the VoxelData accumulators {value, conf, deriv, scale,
 color}.
+
+Streaming (fssr/streaming.py) reuses the same machinery with sample
+CHUNKS: a first device pass accumulates per-voxel log-scale histograms
+(one-hot MXU contraction), per-voxel thresholds come from the
+histogram's count//10 quantile, and a second pass evaluates each chunk
+against fixed thresholds — the accumulators are plain sums, so chunk
+results add.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -44,23 +54,17 @@ import numpy as np
 _VB = 64            # voxels per eval-block (dense padding unit)
 _SB_MIN = 256       # smallest candidate-sample bucket
 _ELEMS_PER_DISPATCH = 1 << 24  # bound (B, V, S) intermediate size
+HIST_BINS = 64      # per-voxel scale-histogram resolution (streaming)
 
 
-@jax.jit
-def _eval_dense(vox_pos, vox_mask, samp, sidx, s_mask):
-    """Evaluate all (voxel, candidate-sample) pairs of a block chunk.
+# ---------------------------------------------------------------------------
+# device kernels
+# ---------------------------------------------------------------------------
 
-    vox_pos (B,V,3); vox_mask (B,V) bool; samp (N,13) the whole sample
-    table [pos(3), normal(3), scale, conf, color(3), 2 spare] resident
-    on device; sidx (B,S) int32 candidate rows; s_mask (B,S).
-    Returns (B, V, 10) sums [vw, w, cw, sw, dvw(3), c(3)] — the same
-    layout the pair-list path segment-sums (basis.evaluate_pairs).
-
-    The candidate gather happens ON DEVICE: the host ships only the
-    (B,S) index table (~4 bytes/candidate) instead of 52-byte gathered
-    rows — the host->device link is the scarce resource here.
-    """
-    f32 = jnp.float32
+def _pair_terms(vox_pos, samp, sidx, s_mask):
+    """Shared per-pair geometry: gather sample rows on device and compute
+    distances / influence mask. Returns a dict of (B,V,S)-shaped terms
+    plus the gathered sample fields."""
     rows = samp[sidx]                    # (B,S,13) device gather
     s_pos = rows[..., 0:3]
     s_norm = rows[..., 3:6]
@@ -73,27 +77,18 @@ def _eval_dense(vox_pos, vox_mask, samp, sidx, s_mask):
     s2 = s * s
     q = dist2 / s2
     in_rad = (q < 9.0) & s_mask[:, None, :]
+    return dict(d=d, dist2=dist2, s=s, s2=s2, q=q, in_rad=in_rad,
+                s_norm=s_norm, s_scale=s_scale, s_conf=s_conf,
+                s_color=s_color)
 
-    # --- per-voxel scale filter: bisect the count//10-th smallest
-    # in-radius sample scale; keep scale <= 2x that value.
-    cnt = jnp.sum(in_rad, axis=-1)                           # (B,V)
-    k = cnt // 10
-    smax = jnp.max(jnp.where(s_mask, s_scale, 0.0), axis=-1)  # (B,)
-    lo = jnp.zeros(cnt.shape, f32)
-    hi = jnp.broadcast_to(smax[:, None], cnt.shape).astype(f32)
 
-    def _bisect(_, lohi):
-        lo, hi = lohi
-        mid = 0.5 * (lo + hi)
-        c = jnp.sum(in_rad & (s <= mid[..., None]), axis=-1)
-        ge = c >= k + 1
-        return jnp.where(ge, lo, mid), jnp.where(ge, mid, hi)
+def _accumulate(t, keep, vox_mask):
+    """Basis/weight/derivative accumulators over kept pairs
+    (basis.evaluate_pairs math; basis_function.h:23-71). Returns
+    (B, V, 10) sums [vw, w, cw, sw, dvw(3), c(3)]."""
+    d, dist2, s, s2, q = t["d"], t["dist2"], t["s"], t["s2"], t["q"]
+    s_norm, s_conf, s_color = t["s_norm"], t["s_conf"], t["s_color"]
 
-    lo, hi = jax.lax.fori_loop(0, 25, _bisect, (lo, hi))
-    keep = in_rad & (s <= (2.0 * hi)[..., None])
-
-    # --- basis/weight/derivative math (basis.evaluate_pairs, vectorized
-    # over the dense cube; see basis_function.h:23-71).
     x = jnp.sum(d * s_norm[:, None, :, :], axis=-1)          # (B,V,S)
     g = jnp.exp(-dist2 / (2.0 * s2))
     value_norm = 2.0 * jnp.pi * s2 * s2
@@ -121,7 +116,7 @@ def _eval_dense(vox_pos, vox_mask, samp, sidx, s_mask):
     sigma_c = s / 5.0
     cw_pair = jnp.exp(-dist2 / (2.0 * sigma_c * sigma_c)) / (
         sigma_c * jnp.sqrt(2.0 * jnp.pi))
-    cw_pair = jnp.where(keep, cw_pair * s_conf[:, None, :], 0.0)
+    cw_pair = jnp.where(keep, cw_pair * t["s_conf"][:, None, :], 0.0)
     cw = jnp.sum(cw_pair, axis=-1)
     sw = jnp.sum(cw_pair * s, axis=-1)
     c = jnp.sum(cw_pair[..., None] * s_color[:, None, :, :], axis=-2)
@@ -130,6 +125,99 @@ def _eval_dense(vox_pos, vox_mask, samp, sidx, s_mask):
         vw[..., None], wc[..., None], cw[..., None], sw[..., None],
         dvw, c], axis=-1)                                     # (B,V,10)
     return jnp.where(vox_mask[..., None], out, 0.0)
+
+
+@jax.jit
+def _eval_dense(vox_pos, vox_mask, samp, sidx, s_mask):
+    """All-in-one evaluation: in-radius test, on-device bisection for the
+    per-voxel scale-filter threshold, accumulators. Used when the whole
+    sample set is resident (non-streaming path)."""
+    t = _pair_terms(vox_pos, samp, sidx, s_mask)
+    in_rad, s = t["in_rad"], t["s"]
+
+    cnt = jnp.sum(in_rad, axis=-1)                           # (B,V)
+    k = cnt // 10
+    smax = jnp.max(jnp.where(s_mask, t["s_scale"], 0.0), axis=-1)  # (B,)
+    lo = jnp.zeros(cnt.shape, jnp.float32)
+    hi = jnp.broadcast_to(smax[:, None], cnt.shape).astype(jnp.float32)
+
+    def _bisect(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        c = jnp.sum(in_rad & (s <= mid[..., None]), axis=-1)
+        ge = c >= k + 1
+        return jnp.where(ge, lo, mid), jnp.where(ge, mid, hi)
+
+    lo, hi = jax.lax.fori_loop(0, 25, _bisect, (lo, hi))
+    keep = in_rad & (s <= (2.0 * hi)[..., None])
+    return _accumulate(t, keep, vox_mask)
+
+
+@jax.jit
+def _eval_dense_thresh(vox_pos, vox_mask, samp, sidx, s_mask, thresh):
+    """Evaluation against PRE-COMPUTED per-voxel scale thresholds
+    (streaming passes: thresholds come from the histogram pass)."""
+    t = _pair_terms(vox_pos, samp, sidx, s_mask)
+    keep = t["in_rad"] & (t["s"] <= thresh[..., None])
+    return _accumulate(t, keep, vox_mask)
+
+
+@jax.jit
+def _hist_dense(vox_pos, vox_mask, samp, sidx, s_mask, log_lo, inv_width):
+    """Per-voxel log-scale histograms of in-radius samples: one-hot bin
+    assignment contracted over the sample axis (an MXU matmul).
+    Returns (B, V, HIST_BINS) float32 counts."""
+    t = _pair_terms(vox_pos, samp, sidx, s_mask)
+    bins = jnp.clip(jnp.floor(
+        (jnp.log(t["s_scale"]) - log_lo) * inv_width), 0, HIST_BINS - 1)
+    oh = jax.nn.one_hot(bins.astype(jnp.int32), HIST_BINS,
+                        dtype=jnp.float32, axis=-1)           # (B,S,NB)
+    counts = jnp.einsum("bvs,bsn->bvn", t["in_rad"].astype(jnp.float32),
+                        oh, preferred_element_type=jnp.float32)
+    return jnp.where(vox_mask[..., None], counts, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# host-side plan
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class BlockPartition:
+    """Spatial partition of the evaluation positions, computed once and
+    reused for every sample chunk."""
+    origin: np.ndarray
+    block_w: float
+    bdims: np.ndarray
+    order: np.ndarray       # position indices sorted by block code
+    ublocks: np.ndarray     # sorted unique block codes
+    bstart: np.ndarray
+    bcount: np.ndarray
+    eb_block: np.ndarray    # eval-row -> ublock index
+    eb_vstart: np.ndarray
+    eb_vcount: np.ndarray
+    pos32: np.ndarray       # (V, 3) float32 positions (original order)
+
+
+def partition_positions(positions: np.ndarray,
+                        block_w: float) -> BlockPartition:
+    positions = np.asarray(positions, np.float64)
+    origin = positions.min(axis=0) - block_w
+    pb = np.floor((positions - origin) / block_w).astype(np.int64)
+    bdims = pb.max(axis=0) + 2
+    bcode = (pb[:, 2] * bdims[1] + pb[:, 1]) * bdims[0] + pb[:, 0]
+    order = np.argsort(bcode, kind="stable")
+    ublocks, bstart = np.unique(bcode[order], return_index=True)
+    bcount = np.diff(np.append(bstart, len(order)))
+    # Split each block's voxel list into eval-rows of <= _VB voxels.
+    nch = (bcount + _VB - 1) // _VB
+    eb_block = np.repeat(np.arange(len(ublocks)), nch)
+    within = np.arange(len(eb_block)) - np.repeat(np.cumsum(nch) - nch, nch)
+    return BlockPartition(
+        origin=origin, block_w=block_w, bdims=bdims, order=order,
+        ublocks=ublocks, bstart=bstart, bcount=bcount, eb_block=eb_block,
+        eb_vstart=bstart[eb_block] + within * _VB,
+        eb_vcount=np.minimum(bcount[eb_block] - within * _VB, _VB),
+        pos32=positions.astype(np.float32))
 
 
 def _expand_sample_blocks(pos, scale, origin, block_w, bdims):
@@ -169,84 +257,66 @@ def _expand_sample_blocks(pos, scale, origin, block_w, bdims):
     return np.concatenate(ent_s), np.concatenate(ent_b)
 
 
-def evaluate_positions_blocked(samples, positions: np.ndarray,
-                               block_cells: float = 4.0) -> np.ndarray:
-    """Compute the per-voxel FSSR accumulator sums (V, 10) for arbitrary
-    positions with the dense block kernel. Drop-in replacement for the
-    pair-list + segment-sum path in iso_octree.evaluate_at_positions."""
-    positions = np.asarray(positions, np.float64)
-    V = len(positions)
+def _sample_table(samples) -> np.ndarray:
+    """Pack sample fields into the padded (Nb, 13) device table."""
+    n = len(samples.pos)
+    Nb = 1 << max(8, int(np.ceil(np.log2(max(n, 1)))))
+    table = np.zeros((Nb, 13), np.float32)
+    table[:n, 0:3] = samples.pos
+    table[:n, 3:6] = samples.normal
+    table[:n, 6] = samples.scale
+    table[:n, 7] = samples.confidence
+    table[:n, 8:11] = samples.color
+    return table
+
+
+def run_chunk(part: BlockPartition, samples, out: np.ndarray,
+              mode: str = "bisect", thresh: np.ndarray | None = None,
+              hist_log_lo: float = 0.0, hist_inv_width: float = 1.0):
+    """Evaluate one sample chunk against the partitioned positions and
+    ADD the per-position results into `out`.
+
+    mode: 'bisect' (self-contained scale filter; out is (V, 10)),
+    'thresh' (fixed per-position thresholds; out is (V, 10)), or
+    'hist' (accumulate scale histograms; out is (V, HIST_BINS))."""
     pos = samples.pos.astype(np.float64)
     scale = samples.scale.astype(np.float64)
-    sums = np.zeros((V, 10), np.float64)
-    if V == 0 or len(pos) == 0:
-        return sums
+    if len(pos) == 0 or len(part.order) == 0:
+        return
 
-    h = float(np.median(scale))
-    block_w = block_cells * max(h, 1e-12)
-    origin = positions.min(axis=0) - block_w
-    pb = np.floor((positions - origin) / block_w).astype(np.int64)
-    bdims = pb.max(axis=0) + 2
-    bcode = (pb[:, 2] * bdims[1] + pb[:, 1]) * bdims[0] + pb[:, 0]
-    order = np.argsort(bcode, kind="stable")
-    bcode_s = bcode[order]
-    ublocks, bstart = np.unique(bcode_s, return_index=True)
-    bcount = np.diff(np.append(bstart, len(bcode_s)))
-
-    ent_s, ent_b = _expand_sample_blocks(pos, scale, origin, block_w, bdims)
-    # Keep only entries touching populated blocks.
-    j = np.searchsorted(ublocks, ent_b)
-    j = np.clip(j, 0, len(ublocks) - 1)
-    okb = ublocks[j] == ent_b
+    ent_s, ent_b = _expand_sample_blocks(
+        pos, scale, part.origin, part.block_w, part.bdims)
+    j = np.searchsorted(part.ublocks, ent_b)
+    j = np.clip(j, 0, len(part.ublocks) - 1)
+    okb = part.ublocks[j] == ent_b
     ent_s, ent_blk = ent_s[okb], j[okb]
     eorder = np.argsort(ent_blk, kind="stable")
     ent_s = ent_s[eorder]
-    ent_blk = ent_blk[eorder]
-    scount = np.bincount(ent_blk, minlength=len(ublocks))
+    scount = np.bincount(ent_blk[eorder], minlength=len(part.ublocks))
     sstart = np.concatenate([[0], np.cumsum(scount)[:-1]])
+    eb_scount = scount[part.eb_block]
 
-    # Split each block's voxel list into eval-rows of <= _VB voxels.
-    nch = (bcount + _VB - 1) // _VB
-    eb_block = np.repeat(np.arange(len(ublocks)), nch)
-    within = np.arange(len(eb_block)) - np.repeat(np.cumsum(nch) - nch, nch)
-    eb_vstart = bstart[eb_block] + within * _VB
-    eb_vcount = np.minimum(bcount[eb_block] - within * _VB, _VB)
-    eb_scount = scount[eb_block]
-
-    # Bucket eval-rows by candidate-sample count (pow2 shapes).
     sb = np.maximum(_SB_MIN, 1 << np.ceil(
         np.log2(np.maximum(eb_scount, 1))).astype(np.int64))
-
-    # Whole sample table once on device (padded pow2 rows): the per-
-    # dispatch traffic is then just the int32 index tables.
-    Nb = 1 << max(8, int(np.ceil(np.log2(len(pos)))))
-    table = np.zeros((Nb, 13), np.float32)
-    table[:len(pos), 0:3] = pos
-    table[:len(pos), 3:6] = samples.normal
-    table[:len(pos), 6] = scale
-    table[:len(pos), 7] = samples.confidence
-    table[:len(pos), 8:11] = samples.color
-    d_table = jnp.asarray(table)
-    pos32 = positions.astype(np.float32)
+    d_table = jnp.asarray(_sample_table(samples))
 
     pending = []  # (device result, vidx, vmask, n_valid)
     for SB in np.unique(sb):
         rows = np.nonzero(sb == SB)[0]
-        ne = len(rows)
         SBi = int(SB)
         # ONE dispatch shape (B, _VB, SB) per SB bucket: compile count is
         # bounded by the handful of pow2 SB values, not by run sizes.
         B = max(1, _ELEMS_PER_DISPATCH // (_VB * SBi))
-        for c0 in range(0, ne, B):
+        for c0 in range(0, len(rows), B):
             sel = rows[c0:c0 + B]
             npad = B - len(sel)
-            vs = eb_vstart[sel]
-            vc = eb_vcount[sel]
+            vs = part.eb_vstart[sel]
+            vc = part.eb_vcount[sel]
             ar = np.arange(_VB)
-            vidx = order[np.minimum(vs[:, None] + ar[None, :],
-                                    len(order) - 1)]
+            vidx = part.order[np.minimum(vs[:, None] + ar[None, :],
+                                         len(part.order) - 1)]
             vmask = ar[None, :] < vc[:, None]
-            ss = sstart[eb_block[sel]]
+            ss = sstart[part.eb_block[sel]]
             sc = eb_scount[sel]
             ar_s = np.arange(SBi)
             sidx = ent_s[np.minimum(ss[:, None] + ar_s[None, :],
@@ -259,15 +329,39 @@ def evaluate_positions_blocked(samples, positions: np.ndarray,
                 zpads = np.zeros((npad, SBi), np.int64)
                 sidx = np.concatenate([sidx, zpads])
                 smask = np.concatenate([smask, zpads.astype(bool)])
-            out = _eval_dense(
-                jnp.asarray(pos32[vidx]), jnp.asarray(vmask),
-                d_table, jnp.asarray(sidx.astype(np.int32)),
-                jnp.asarray(smask))
-            pending.append((out, vidx, vmask, len(sel)))
+            args = (jnp.asarray(part.pos32[vidx]), jnp.asarray(vmask),
+                    d_table, jnp.asarray(sidx.astype(np.int32)),
+                    jnp.asarray(smask))
+            if mode == "bisect":
+                res = _eval_dense(*args)
+            elif mode == "thresh":
+                res = _eval_dense_thresh(
+                    *args, jnp.asarray(thresh[vidx].astype(np.float32)))
+            elif mode == "hist":
+                res = _hist_dense(*args, jnp.asarray(hist_log_lo),
+                                  jnp.asarray(hist_inv_width))
+            else:
+                raise ValueError(f"unknown mode {mode!r}")
+            pending.append((res, vidx, vmask, len(sel)))
     # One sync at the end: device compute overlaps the host-side table
     # assembly of subsequent dispatches.
-    for out, vidx, vmask, n in pending:
-        res = np.asarray(out, np.float64)
+    for res, vidx, vmask, n in pending:
+        arr = np.asarray(res, np.float64)
         m = vmask[:n]
-        sums[vidx[:n][m]] = res[:n][m]
+        out[vidx[:n][m]] += arr[:n][m]
+
+
+def evaluate_positions_blocked(samples, positions: np.ndarray,
+                               block_cells: float = 4.0) -> np.ndarray:
+    """Compute the per-voxel FSSR accumulator sums (V, 10) for arbitrary
+    positions with the dense block kernel. Drop-in replacement for the
+    pair-list + segment-sum path in iso_octree.evaluate_at_positions."""
+    positions = np.asarray(positions, np.float64)
+    V = len(positions)
+    sums = np.zeros((V, 10), np.float64)
+    if V == 0 or len(samples.pos) == 0:
+        return sums
+    h = float(np.median(samples.scale.astype(np.float64)))
+    part = partition_positions(positions, block_cells * max(h, 1e-12))
+    run_chunk(part, samples, sums, mode="bisect")
     return sums

@@ -52,7 +52,8 @@ import numpy as np
 
 from .patch import _box_sum
 from .solver import (_combine_sel, _combine_topk, _local_view_selection,
-                     _ncc_box_all, _plane_normals, _ref_box_stats)
+                     _ncc_box_all, _plane_normals, _ref_box_stats,
+                     _reselect_with_fallback)
 
 
 # -----------------------------------------------------------------------
@@ -543,18 +544,54 @@ def _solve_view_sweep(ref, neigh, nvalid, T, tvec, ray_z,
             return _combine_sel(jnp.where(ok_s, ncc_s, -1.0), ok_s)
         return _combine_topk(ncc_x, ok_x, k)
 
-    # Reselect views from EXACT NCC first: pixels whose rect tables were
-    # partially invalid (off-grid taps, shift margins) but whose TRUE
-    # warps are fine — borders, mostly — regain their views here, and
-    # with them acceptance (local_view_selection.cc re-runs selection on
-    # real patch scores too).
+    # Reselect views from EXACT NCC first (loose fallback): pixels whose
+    # rect tables were partially invalid (off-grid taps, shift margins)
+    # but whose TRUE warps are fine — borders, mostly — regain their
+    # views here and can participate in the exact rounds below.
     if use_local:
         ncc_x0, _ = _ncc_box_all(ref, rstats, neigh, nvalid, T, tvec,
                                  ray_z, bd[None], fw)
-        sel, sel_valid = _local_view_selection(
+        sel, sel_valid = _reselect_with_fallback(
             ncc_x0[:, 0], nvalid, bd, ray_world, cam_rel, k,
             min_ncc, min_parallax)
 
+    # Exact PatchMatch rounds: true-warp region growing into pixels the
+    # table phase could not score (occlusion bands, image borders) —
+    # the batched analog of the reference's exact sequential growing
+    # (dmrecon.cc:334-434 processQueue).
+    s_now, k_now = score_exact(bd[None])
+    bs, bk = s_now[0], k_now[0]
+    for rnd in range(3):
+        if use_local and rnd:
+            # Refresh the loose selection at the improved depth: stale
+            # selections block depths just propagated from neighbors.
+            ncc_xr, _ = _ncc_box_all(ref, rstats, neigh, nvalid, T, tvec,
+                                     ray_z, bd[None], fw)
+            sel, sel_valid = _reselect_with_fallback(
+                ncc_xr[:, 0], nvalid, bd, ray_world, cam_rel, k,
+                min_ncc, min_parallax)
+            s_now, k_now = score_exact(bd[None])
+            bs, bk = s_now[0], k_now[0]
+        cands = jnp.stack(
+            [jnp.roll(bd, (dy, dx), axis=(0, 1))
+             for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0),
+                            (0, 3), (0, -3), (3, 0), (-3, 0))])
+        cs, ck = score_exact(cands)
+        all_d = jnp.concatenate([bd[None], cands])
+        all_s = jnp.concatenate([bs[None], cs])
+        all_k = jnp.concatenate([bk[None], ck])
+        pick = jnp.argmax(all_s, axis=0)[None]
+        take = lambda a: jnp.take_along_axis(a, pick, axis=0)[0]
+        bd, bs, bk = take(all_d), take(all_s), take(all_k)
+
+    # Final STRICT selection at the converged depth for acceptance
+    # (local_view_selection.cc success semantics).
+    if use_local:
+        ncc_xf, _ = _ncc_box_all(ref, rstats, neigh, nvalid, T, tvec,
+                                 ray_z, bd[None], fw)
+        sel, sel_valid = _local_view_selection(
+            ncc_xf[:, 0], nvalid, bd, ray_world, cam_rel, k,
+            min_ncc, min_parallax)
     s_now, k_now = score_exact(bd[None])
     bs, bk = s_now[0], k_now[0]
     # Three parabolic polish rounds: the lookup phase's piecewise-linear

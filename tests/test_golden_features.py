@@ -14,8 +14,11 @@ and matching reproduce them:
     (measured 99.7%).
 
 This protects everything downstream of features (tracks, poses, MVS
-seeds) from silent descriptor drift. Skips when the reference build is
-absent (same contract as test_reference_interop.py).
+seeds) from silent descriptor drift. When the reference build is absent
+the COMMITTED golden artifact tests/golden/prebundle_ref_seed7.sfm is
+used instead (minted 2026-08-21 from the rebuilt reference sfmrecon on
+the deterministic seed-7 scene), so the assertions run in every
+environment.
 """
 
 import os
@@ -35,19 +38,26 @@ from tests.synthetic import make_two_plane_scene
 REF_APPS = os.environ.get("MVE_REF_APPS", "/tmp/mve_ref_build/apps")
 
 
+GOLDEN_PREBUNDLE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "golden", "prebundle_ref_seed7.sfm")
+
+
 @pytest.fixture(scope="module")
 def golden(tmp_path_factory):
-    ref_bin = os.path.join(REF_APPS, "sfmrecon", "sfmrecon")
-    if not os.path.isfile(ref_bin) or not os.access(ref_bin, os.X_OK):
-        pytest.skip(f"reference binary {ref_bin} not available")
     scene = str(tmp_path_factory.mktemp("golden") / "scene")
     make_two_plane_scene(scene, n_views=4, width=480, height=360, seed=7,
                          with_cameras=False)
-    proc = subprocess.run([ref_bin, scene], capture_output=True, text=True,
-                          timeout=600)
-    assert proc.returncode == 0, proc.stdout[-1500:] + proc.stderr[-800:]
-    ref_vps, ref_matching = load_prebundle(
-        os.path.join(scene, "prebundle.sfm"))
+    ref_bin = os.path.join(REF_APPS, "sfmrecon", "sfmrecon")
+    if os.path.isfile(ref_bin) and os.access(ref_bin, os.X_OK):
+        proc = subprocess.run([ref_bin, scene], capture_output=True,
+                              text=True, timeout=600)
+        assert proc.returncode == 0, proc.stdout[-1500:] + proc.stderr[-800:]
+        prebundle_path = os.path.join(scene, "prebundle.sfm")
+    else:
+        # Committed golden artifact: the reference's prebundle for this
+        # exact deterministic scene (same generator, same seed).
+        prebundle_path = GOLDEN_PREBUNDLE
+    ref_vps, ref_matching = load_prebundle(prebundle_path)
 
     sc = Scene(scene)
     views = sc.get_views()

@@ -29,12 +29,13 @@ def e2e_dir(tmp_path_factory):
 def reconstructed_scene(e2e_dir):
     scene_path = os.path.join(e2e_dir, "scene")
     _, cams_true = make_two_plane_scene(scene_path, n_views=6)
-    sfm_reconstruct(scene_path, intrinsics_from_views=False, verbose=True)
-    return scene_path, cams_true
+    incremental = sfm_reconstruct(scene_path, intrinsics_from_views=False,
+                                  verbose=True)
+    return scene_path, cams_true, incremental
 
 
 def test_sfm_stage(reconstructed_scene):
-    scene_path, cams_true = reconstructed_scene
+    scene_path, cams_true, _ = reconstructed_scene
     scene = Scene(scene_path)
     bundle = scene.get_bundle()
     assert bundle.get_num_cameras() == 6
@@ -58,8 +59,22 @@ def test_sfm_stage(reconstructed_scene):
     assert scene.get_view_by_id(0).has_image("undistorted")
 
 
+def test_sfm_reprojection_quality(reconstructed_scene):
+    """Final BA reprojection RMSE stays at sub-pixel scale in normalized
+    units (the reference's own runs on this generator converge to ~1e-4;
+    bench_baseline.json reproj context). Note: reprojection cannot be
+    recomputed from the saved bundle — the MVE bundle format stores 2D
+    ref positions as zeros (the reference writes them the same way)."""
+    _, _, incremental = reconstructed_scene
+    assert incremental is not None and incremental.last_ba_status is not None
+    rmse = float(incremental.last_ba_status.final_mse) ** 0.5
+    assert rmse < 2e-3, f"reprojection RMSE {rmse:.6f} (normalized units)"
+
+
 def test_mvs_stage(reconstructed_scene):
-    scene_path, _ = reconstructed_scene
+    scene_path = reconstructed_scene[0]
+    from mve_tpu.apps import dmrecon as dmapp
+
     n = reconstruct_views(
         scene_path, scale=1,
         settings=Settings(num_sweep_planes=16, num_propagation_iters=4))
@@ -68,11 +83,19 @@ def test_mvs_stage(reconstructed_scene):
     view = scene.get_view_by_id(0)
     depth = view.get_image("depth-L1")
     assert depth is not None
-    assert (depth > 0).mean() > 0.3
+    # Fill gate anchored to the REFERENCE binaries run on THIS exact
+    # scene (2026-08-21, rebuilt reference dmrecon -s1 on the fixture
+    # scene): reference per-view fills [0.540, 0.516, 0.514, 0.519,
+    # 0.541, 0.512], mean 0.5238; this solver measured 0.5247 on the
+    # same input. Gate a hair under parity so quality can no longer be
+    # traded for speed silently (round-3 regression: fill fell to 0.69
+    # on the bench scene while e2e only asserted > 0.3).
+    assert dmapp.LAST_STATS["depth_fill"] > 0.50, dmapp.LAST_STATS
+    assert (depth > 0).mean() > 0.48, f"view0 fill {(depth > 0).mean():.3f}"
 
 
 def test_fusion_and_fssr_stage(reconstructed_scene, e2e_dir):
-    scene_path, _ = reconstructed_scene
+    scene_path = reconstructed_scene[0]
     pset_path = os.path.join(e2e_dir, "pset.ply")
     mesh = scene_to_pointset(
         scene_path, pset_path, dmname="depth-L1", image="undist-L1",
@@ -82,7 +105,13 @@ def test_fusion_and_fssr_stage(reconstructed_scene, e2e_dir):
 
     surf_path = os.path.join(e2e_dir, "surface.ply")
     surf = fssr_reconstruct(pset_path, surf_path)
-    assert surf.num_faces() > 1000
+    # Face-count band: a sane surface of this scene triangulates to the
+    # order of the point count, not a sliver (round-3 lesson: face
+    # counts swung with solver quality and nothing gated them).
+    assert 1000 < surf.num_faces() < 40 * mesh.num_vertices(), (
+        f"{surf.num_faces()} faces from {mesh.num_vertices()} points")
+    # Surface must carry interpolated confidences/scales for meshclean.
+    assert surf.has_vertex_confidences() and surf.has_vertex_values()
 
     clean_path = os.path.join(e2e_dir, "clean.ply")
     cleaned = mesh_clean(surf_path, clean_path, threshold=0.1, component_size=100)
