@@ -30,8 +30,19 @@ def fssr_reconstruct(input_paths, output_path: str | None = None, *,
                      cell_size: float | None = None, adaptive: bool = False,
                      refine_octree: int = 0,
                      min_scale: float = 0.0, max_scale: float = 0.0,
-                     max_level: int = 10, verbose: bool = True):
+                     max_level: int = 10, verbose: bool = True,
+                     stream: bool = False, stream_chunk_size: int = 1 << 20):
     import numpy as _np
+
+    if stream:
+        if adaptive:
+            raise ValueError("--stream and --adaptive are exclusive")
+        return _fssr_reconstruct_streaming(
+            input_paths, output_path, scale_factor=scale_factor,
+            use_hermite=use_hermite, interpolation=interpolation,
+            cell_size=cell_size, refine_octree=refine_octree,
+            min_scale=min_scale, max_scale=max_scale,
+            chunk_size=stream_chunk_size, verbose=verbose)
 
     if isinstance(input_paths, str):
         input_paths = [input_paths]
@@ -114,6 +125,68 @@ def fssr_reconstruct(input_paths, output_path: str | None = None, *,
     return mesh
 
 
+def _fssr_reconstruct_streaming(input_paths, output_path, *, scale_factor,
+                                use_hermite, interpolation, cell_size,
+                                refine_octree, min_scale, max_scale,
+                                chunk_size, verbose):
+    """Memory-bounded reconstruction: the point set is streamed in
+    chunks through fssr/streaming.py and never materialized (the
+    reference's next_sample pipeline, sample_io.cc:471)."""
+    import numpy as _np
+
+    from ..fssr.sample import SampleList, stream_samples_from_ply
+    from ..fssr.streaming import compute_voxels_streaming
+
+    if isinstance(input_paths, str):
+        input_paths = [input_paths]
+    LAST_STATS.clear()
+
+    def chunks():
+        for path in input_paths:
+            for ch in stream_samples_from_ply(path, scale_factor,
+                                              chunk_size=chunk_size):
+                if max_scale > 0.0:
+                    keep = ch.scale <= max_scale
+                    if not keep.all():
+                        ch = SampleList(
+                            pos=ch.pos[keep], normal=ch.normal[keep],
+                            color=ch.color[keep], scale=ch.scale[keep],
+                            confidence=ch.confidence[keep])
+                if min_scale > 0.0:
+                    ch.scale = _np.maximum(ch.scale, min_scale)
+                yield ch
+
+    eff_cell = cell_size
+    if refine_octree > 0 and eff_cell is not None:
+        eff_cell = eff_cell / (2.0 ** refine_octree)
+    timer = WallTimer()
+    grid = compute_voxels_streaming(chunks, cell_size=eff_cell,
+                                    verbose=verbose)
+    if refine_octree > 0 and cell_size is None:
+        # Median-derived cell: redo at the refined resolution (the
+        # stream told us the median only after the first pass).
+        grid = compute_voxels_streaming(
+            chunks, cell_size=grid.cell_size / (2.0 ** refine_octree),
+            verbose=verbose)
+    LAST_STATS["eval_ms"] = timer.get_elapsed()
+    LAST_STATS["n_voxels"] = int(len(grid.voxel_codes))
+    timer.reset()
+    mesh = IsoSurface(grid, use_hermite=use_hermite,
+                      interpolation=interpolation).extract_mesh()
+    LAST_STATS["extract_ms"] = timer.get_elapsed()
+    LAST_STATS["n_faces"] = int(mesh.num_faces())
+    if verbose:
+        print(f"Extracted {mesh.num_faces()} faces (streaming).")
+    if mesh.has_vertex_confidences():
+        mesh.delete_vertices_fix_faces(mesh.vertex_confidences <= 0.0)
+    if output_path:
+        mesh_io.save_mesh(mesh, output_path)
+        if verbose:
+            print(f"Wrote surface with {mesh.num_vertices()} vertices "
+                  f"to {output_path}.")
+    return mesh
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="fssrecon",
                                 description="Floating-scale surface reconstruction.")
@@ -138,13 +211,20 @@ def main(argv=None) -> int:
                    help="Scale-adaptive octree extraction (dual contouring)")
     p.add_argument("--max-level", type=int, default=10,
                    help="Maximum octree level for --adaptive")
+    p.add_argument("--stream", action="store_true",
+                   help="Memory-bounded chunked streaming of the input "
+                        "point set (for psets larger than RAM)")
+    p.add_argument("--stream-chunk-size", type=int, default=1 << 20,
+                   help="Samples per streaming chunk [1M]")
     args = p.parse_args(argv)
     fssr_reconstruct(args.inputs, args.output, scale_factor=args.scale_factor,
                      interpolation=args.interpolation,
                      refine_octree=args.refine_octree,
                      min_scale=args.min_scale, max_scale=args.max_scale,
                      cell_size=args.cell_size,
-                     adaptive=args.adaptive, max_level=args.max_level)
+                     adaptive=args.adaptive, max_level=args.max_level,
+                     stream=args.stream,
+                     stream_chunk_size=args.stream_chunk_size)
     return 0
 
 

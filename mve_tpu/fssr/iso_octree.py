@@ -162,6 +162,75 @@ def _pad_rows(arr: np.ndarray, n: int, fill=0.0) -> np.ndarray:
     return np.concatenate([arr, pad])
 
 
+def grid_geometry(aabb_min, aabb_max, h: float, max_grid_dim: int):
+    """Uniform-grid origin/cell/dims for an influence-dilated AABB.
+
+    h is nominally the median sample scale (the octree level most
+    samples insert at, octree.cc:153-230); it grows if the grid would
+    exceed max_grid_dim per axis."""
+    dims_f = (aabb_max - aabb_min) / h + 2
+    if dims_f.max() > max_grid_dim:
+        h = float((aabb_max - aabb_min).max() / (max_grid_dim - 2))
+        dims_f = (aabb_max - aabb_min) / h + 2
+    origin = aabb_min - h
+    dims = np.ceil(dims_f).astype(np.int64) + 2
+    return origin, h, dims
+
+
+def mark_active_cells(pos, scale, origin, h, dims) -> np.ndarray:
+    """Unique linear codes of near-surface cells: the (2r+1)^3
+    neighborhood around each sample's cell, expanded directly in
+    linear-code space (one int64 per cell instead of a coordinate
+    triple — the expansion is allocation-bound on this host). Center
+    cells are clamped so the whole neighborhood stays in bounds; border
+    samples thus mark a shifted (never out-of-range) neighborhood.
+    Streaming accumulates the union of per-chunk results."""
+    cell = np.floor((pos - origin) / h).astype(np.int64)
+    r_cells = np.minimum(np.ceil(np.maximum(scale, h) / h).astype(np.int64), 3)
+    code_parts = []
+    for r in np.unique(r_cells):
+        sub = cell[r_cells == r]
+        sub = np.clip(sub, r, (dims - 3 - r)[None, :])
+        sub_code = (sub[:, 2] * dims[1] + sub[:, 1]) * dims[0] + sub[:, 0]
+        rng = np.arange(-r, r + 1)
+        ox, oy, oz = np.meshgrid(rng, rng, rng, indexing="ij")
+        offs_code = (oz.reshape(-1) * dims[1] + oy.reshape(-1)) * dims[0] \
+            + ox.reshape(-1)
+        code_parts.append((sub_code[:, None] + offs_code[None, :]).reshape(-1))
+    # Unique via linear codes (np.unique(axis=0) sorts a void view —
+    # an order of magnitude slower).
+    return np.unique(np.concatenate(code_parts))
+
+
+def voxels_from_cells(uniq_cell_codes, dims):
+    """(voxel_codes, cells, voxel_pos-less) from active cell codes:
+    voxels are the unique corners of the active cells. Returns
+    (voxel_codes, cells (C, 3) int, voxel coords-to-position left to the
+    caller via positions helper)."""
+    stride_y = dims[0]
+    stride_z = dims[0] * dims[1]
+    cz = uniq_cell_codes // stride_z
+    crem = uniq_cell_codes % stride_z
+    cells = np.stack([crem % dims[0], crem // dims[0], cz], axis=1)
+    corner_offs_code = np.array(
+        [0, 1, stride_y, stride_y + 1,
+         stride_z, stride_z + 1, stride_z + stride_y,
+         stride_z + stride_y + 1], np.int64)
+    corner_codes = (uniq_cell_codes[:, None]
+                    + corner_offs_code[None, :]).reshape(-1)
+    voxel_codes = np.unique(corner_codes)
+    return voxel_codes, cells
+
+
+def voxel_positions(voxel_codes, origin, h, dims) -> np.ndarray:
+    stride_y = dims[0]
+    stride_z = dims[0] * dims[1]
+    vx = voxel_codes % stride_y
+    vy = (voxel_codes % stride_z) // stride_y
+    vz = voxel_codes // stride_z
+    return origin[None, :] + np.stack([vx, vy, vz], axis=-1) * h
+
+
 class IsoOctree:
     """Voxel evaluation engine (mirrors fssr::IsoOctree's compute_voxels)."""
 
@@ -194,52 +263,11 @@ class IsoOctree:
         h = self.cell_size or float(np.median(scale))
         aabb_min = (pos - 3.0 * scale[:, None]).min(axis=0)
         aabb_max = (pos + 3.0 * scale[:, None]).max(axis=0)
-        dims_f = (aabb_max - aabb_min) / h + 2
-        if dims_f.max() > self.max_grid_dim:
-            h = float((aabb_max - aabb_min).max() / (self.max_grid_dim - 2))
-            dims_f = (aabb_max - aabb_min) / h + 2
-        origin = aabb_min - h
-        dims = np.ceil(dims_f).astype(np.int64) + 2
-
-        # --- active cells: near-surface region around each sample. The
-        # (2r+1)^3 neighborhood expands directly in linear-code space
-        # (one int64 per cell instead of a coordinate triple — the
-        # expansion is allocation-bound on this host). Center cells are
-        # clamped so the whole neighborhood stays in bounds; border
-        # samples thus mark a shifted (never out-of-range) neighborhood.
-        stride_y = dims[0]
-        stride_z = dims[0] * dims[1]
-        cell = np.floor((pos - origin) / h).astype(np.int64)
-        r_cells = np.minimum(np.ceil(np.maximum(scale, h) / h).astype(np.int64), 3)
-        code_parts = []
-        for r in np.unique(r_cells):
-            sub = cell[r_cells == r]
-            sub = np.clip(sub, r, (dims - 3 - r)[None, :])
-            sub_code = (sub[:, 2] * dims[1] + sub[:, 1]) * dims[0] + sub[:, 0]
-            rng = np.arange(-r, r + 1)
-            ox, oy, oz = np.meshgrid(rng, rng, rng, indexing="ij")
-            offs_code = (oz.reshape(-1) * dims[1] + oy.reshape(-1)) * dims[0] \
-                + ox.reshape(-1)
-            code_parts.append((sub_code[:, None] + offs_code[None, :]).reshape(-1))
-        # Unique via linear codes (np.unique(axis=0) sorts a void view —
-        # an order of magnitude slower).
-        uniq = np.unique(np.concatenate(code_parts))
-        cz = uniq // stride_z
-        crem = uniq % stride_z
-        cells = np.stack([crem % dims[0], crem // dims[0], cz], axis=1)
-
-        # --- voxel set: unique corners of active cells.
-        corner_offs_code = np.array(
-            [0, 1, stride_y, stride_y + 1,
-             stride_z, stride_z + 1, stride_z + stride_y,
-             stride_z + stride_y + 1], np.int64)
-        corner_codes = (uniq[:, None] + corner_offs_code[None, :]).reshape(-1)
-        voxel_codes = np.unique(corner_codes)
-        V = len(voxel_codes)
-        vx = voxel_codes % stride_y
-        vy = (voxel_codes % stride_z) // stride_y
-        vz = voxel_codes // stride_z
-        voxel_pos = origin[None, :] + np.stack([vx, vy, vz], axis=-1) * h
+        origin, h, dims = grid_geometry(aabb_min, aabb_max, h,
+                                        self.max_grid_dim)
+        uniq = mark_active_cells(pos, scale, origin, h, dims)
+        voxel_codes, cells = voxels_from_cells(uniq, dims)
+        voxel_pos = voxel_positions(voxel_codes, origin, h, dims)
         return origin, h, dims, voxel_codes, cells, voxel_pos
 
     # ------------------------------------------------------------------
