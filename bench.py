@@ -187,11 +187,15 @@ def main():
             proc = subprocess.run(
                 [sys.executable, "-u", os.path.abspath(__file__)],
                 env=env, timeout=timeout_s, capture_output=True, text=True)
+            # Child stderr always surfaces (a silently-failed optional
+            # stage like BENCH_LARGE left no trace otherwise).
+            if proc.stderr:
+                sys.stderr.write(proc.stderr[-3000:])
             out = [l for l in proc.stdout.splitlines() if l.startswith("{")]
             if out:
                 print(out[-1])
                 return
-            sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-2000:])
+            sys.stderr.write(proc.stdout[-2000:])
         except subprocess.TimeoutExpired:
             sys.stderr.write(f"bench attempt {attempt} timed out after "
                              f"{timeout_s}s; retrying on fresh state\n")

@@ -19,8 +19,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TM = 256  # query rows per tile
-TN = 512  # reference columns per chunk
+TM = 1024  # query rows per tile (1-D f32 outputs are 1024-tiled in XLA's
+           # current layout; Mosaic requires the block to match)
+TN = 512   # reference columns per chunk
 
 
 def _top2_kernel(q_ref, r_ref, best_ref, second_ref, idx_ref):

@@ -537,6 +537,53 @@ def _to_gray_f32(image) -> np.ndarray:
     return img.astype(np.float32)
 
 
+@functools.partial(jax.jit, static_argnames=("max_ori",))
+def _compact_slots(x, y, s, oris, ori_valid, keep, max_ori: int):
+    """Device-side slot compaction: expand keypoints x orientations to
+    flat slots and pack the valid ones into the first `cap` entries by a
+    stable argsort on validity (overflow beyond cap drops the lowest-
+    priority tail; cap is already the per-octave keypoint budget)."""
+    cap = x.shape[0]
+    valid_f = (ori_valid & keep[:, None]).reshape(-1)       # (cap*max_ori,)
+    order = jnp.argsort(~valid_f, stable=True)[:cap]
+    xd = jnp.repeat(x, max_ori)[order]
+    yd = jnp.repeat(y, max_ori)[order]
+    sd = jnp.repeat(s, max_ori)[order]
+    od = oris.reshape(-1)[order]
+    vd = valid_f[order]
+    # Clamp invalid slots to safe interior coords for the window gathers.
+    xd = jnp.where(vd, xd, 8.0)
+    yd = jnp.where(vd, yd, 8.0)
+    sd = jnp.where(vd, sd, 0.0)
+    return xd, yd, sd, od, vd
+
+
+def _octave_full(oct_img, num_samples: int, base_sigma: float,
+                 has_sigma: float, cap: int, contrast_thr: float,
+                 edge_thr: float, max_ori: int):
+    """One octave end-to-end WITHOUT host round trips: detect +
+    orientations (on all cap slots, masked) + device-side compaction +
+    descriptors. The previous batch path synced to the host between
+    every stage for compaction — ~18 tunnel round trips per scene; this
+    chains four async dispatches. (Deliberately NOT one fused jit: the
+    merged program compiles pathologically slowly on the remote-compile
+    backend, while these four programs are the round-3 shapes the
+    compiler already handles.)
+
+    Returns (x, y, s, ori, desc, ok) all padded to cap.
+    """
+    gauss, x, y, s, keep = _octave_detect(
+        oct_img, num_samples, base_sigma, has_sigma, cap, contrast_thr,
+        edge_thr)
+    grad, orient, oris, ori_valid = _octave_orientations(
+        gauss, x, y, s, keep, num_samples, base_sigma, max_ori)
+    xd, yd, sd, od, vd = _compact_slots(x, y, s, oris, ori_valid, keep,
+                                        max_ori)
+    desc, ok = _compute_descriptors(grad, orient, xd, yd, sd, od, vd,
+                                    num_samples, base_sigma)
+    return xd, yd, sd, od, desc, ok & vd
+
+
 def detect_and_describe_batch(images, options: SiftOptions = SiftOptions()):
     """SIFT over a batch of SAME-SHAPE images with vmapped octave stages:
     3 dispatches per octave for the whole batch instead of per image.
@@ -562,87 +609,41 @@ def detect_and_describe_batch(images, options: SiftOptions = SiftOptions()):
     for _ in range(opts.min_octave):
         base = jax.vmap(lambda im: image_tools.rescale_half_size_gaussian(im[:, :, None])[:, :, 0])(base)
 
+    # One fused dispatch per octave; results fetched asynchronously at
+    # the end (device round trips were the old path's dominant cost).
+    pending = []
     while o <= opts.max_octave and base.shape[1] >= 16 and base.shape[2] >= 16:
         H, W = base.shape[1], base.shape[2]
         cap = min(opts.max_keypoints_per_octave, max(256, S * H * W // 64))
         cap = _pad_to_bucket(cap, opts.max_keypoints_per_octave)
-        det = jax.vmap(lambda im: _octave_detect(
+        full = jax.vmap(lambda im: _octave_full(
             im, S, opts.base_blur_sigma, float(img_sigma), cap,
-            opts.eff_contrast_threshold, opts.edge_ratio_threshold))
-        gauss, x, y, s, keep = det(base)
-        keep_np = np.asarray(keep)  # (B, cap)
-        x_np = np.asarray(x)
-        y_np = np.asarray(y)
-        s_np = np.asarray(s)
-
-        # Common padded keypoint count across the batch.
-        counts = keep_np.sum(axis=1)
-        n2 = int(counts.max())
-        if n2 > 0:
-            npad2 = _pad_to_bucket(n2, opts.max_keypoints_per_octave)
-            kx = np.full((B, npad2), 64.0, np.float32)
-            ky = np.full((B, npad2), 64.0, np.float32)
-            ks = np.zeros((B, npad2), np.float32)
-            kvalid = np.zeros((B, npad2), bool)
-            for b in range(B):
-                sel = keep_np[b]
-                m = int(counts[b])
-                kx[b, :m] = x_np[b][sel]
-                ky[b, :m] = y_np[b][sel]
-                ks[b, :m] = s_np[b][sel]
-                kvalid[b, :m] = True
-            orient_b = jax.vmap(lambda g, xx, yy, ss, vv: _octave_orientations(
-                g, xx, yy, ss, vv, S, opts.base_blur_sigma,
-                opts.max_orientations_per_keypoint))
-            grad, orient, oris, ori_valid = orient_b(
-                gauss, jnp.asarray(kx), jnp.asarray(ky), jnp.asarray(ks),
-                jnp.asarray(kvalid))
-            ov_np = np.asarray(ori_valid)
-            oris_np = np.asarray(oris)
-
-            # Descriptor slots, again padded to a common count.
-            slots = [np.nonzero(ov_np[b]) for b in range(B)]
-            n3 = max(len(sl[0]) for sl in slots)
-            if n3 > 0:
-                npad3 = _pad_to_bucket(
-                    n3, opts.max_keypoints_per_octave * opts.max_orientations_per_keypoint)
-                npad3 = max(npad3, 256)
-                ddx = np.full((B, npad3), 64.0, np.float32)
-                ddy = np.full((B, npad3), 64.0, np.float32)
-                dds = np.zeros((B, npad3), np.float32)
-                ddo = np.zeros((B, npad3), np.float32)
-                dvalid = np.zeros((B, npad3), bool)
-                for b in range(B):
-                    kp_rep, ori_k = slots[b]
-                    m = len(kp_rep)
-                    ddx[b, :m] = kx[b][kp_rep]
-                    ddy[b, :m] = ky[b][kp_rep]
-                    dds[b, :m] = ks[b][kp_rep]
-                    ddo[b, :m] = oris_np[b][kp_rep, ori_k]
-                    dvalid[b, :m] = True
-                desc_b = jax.vmap(lambda g, orn, xx, yy, ss, oo, vv:
-                                  _compute_descriptors(g, orn, xx, yy, ss, oo, vv,
-                                                       S, opts.base_blur_sigma))
-                desc, ok = desc_b(grad, orient, jnp.asarray(ddx), jnp.asarray(ddy),
-                                  jnp.asarray(dds), jnp.asarray(ddo), jnp.asarray(dvalid))
-                ok_np = np.asarray(ok)
-                desc_np = np.asarray(desc)
-                scale_factor = 2.0 ** o
-                for b in range(B):
-                    sel = ok_np[b]
-                    if not sel.any():
-                        continue
-                    results[b]["x"].append(scale_factor * (ddx[b][sel] + 0.5) - 0.5)
-                    results[b]["y"].append(scale_factor * (ddy[b][sel] + 0.5) - 0.5)
-                    results[b]["scale"].append(
-                        opts.base_blur_sigma * 2.0 ** (o + (dds[b][sel] + 1.0) / S))
-                    results[b]["ori"].append(ddo[b][sel])
-                    results[b]["desc"].append(desc_np[b][sel])
-
+            opts.eff_contrast_threshold, opts.edge_ratio_threshold,
+            opts.max_orientations_per_keypoint))
+        pending.append((o, full(base)))
         base = jax.vmap(lambda im: image_tools.rescale_half_size_gaussian(
             im[:, :, None])[:, :, 0])(base)
         img_sigma = opts.base_blur_sigma
         o += 1
+
+    for o, (xd, yd, sd, od, desc, ok) in pending:
+        ok_np = np.asarray(ok)
+        xd = np.asarray(xd)
+        yd = np.asarray(yd)
+        sd = np.asarray(sd)
+        od = np.asarray(od)
+        desc_np = np.asarray(desc)
+        scale_factor = 2.0 ** o
+        for b in range(B):
+            sel = ok_np[b]
+            if not sel.any():
+                continue
+            results[b]["x"].append(scale_factor * (xd[b][sel] + 0.5) - 0.5)
+            results[b]["y"].append(scale_factor * (yd[b][sel] + 0.5) - 0.5)
+            results[b]["scale"].append(
+                opts.base_blur_sigma * 2.0 ** (o + (sd[b][sel] + 1.0) / S))
+            results[b]["ori"].append(od[b][sel])
+            results[b]["desc"].append(desc_np[b][sel])
 
     out = []
     for r in results:
