@@ -152,8 +152,18 @@ class InitialPair:
             p1s, p2s = p1[sel], p2[sel]
         else:
             p1s, p2s = p1, p2
+        # Pad to power-of-two buckets: the candidate loop calls this with
+        # a different N per pair; each unique eager shape is an XLA
+        # compile. Zero rows leave the least-squares system unchanged
+        # (they contribute nothing to A^T A).
+        n_s = len(p1s)
+        Nb = 1 << max(4, int(np.ceil(np.log2(max(n_s, 1)))))
+        p1b = np.zeros((Nb, 2), np.float32)
+        p1b[:n_s] = p1s
+        p2b = np.zeros((Nb, 2), np.float32)
+        p2b[:n_s] = p2s
         F = np.asarray(fu.fundamental_least_squares(
-            jnp.asarray(p1s, jnp.float32)[None], jnp.asarray(p2s, jnp.float32)[None]))[0]
+            jnp.asarray(p1b)[None], jnp.asarray(p2b)[None]))[0]
         F = np.asarray(fu.enforce_fundamental_constraints(jnp.asarray(F)[None]))[0].astype(np.float64)
 
         vp1 = self.viewports[cand.view_1_id]
@@ -177,10 +187,9 @@ class InitialPair:
     def _is_consistent(x1, x2, pose1: CameraPose, pose2: CameraPose) -> bool:
         """Chirality: triangulated point in front of both cameras
         (triangulate.cc is_consistent_pose)."""
-        P1 = jnp.asarray(pose1.fill_p_matrix(), jnp.float32)
-        P2 = jnp.asarray(pose2.fill_p_matrix(), jnp.float32)
-        X = np.asarray(triangulate_match(
-            jnp.asarray(x1, jnp.float32), jnp.asarray(x2, jnp.float32), P1, P2)).astype(np.float64)
+        X = np.asarray(triangulate_match(  # numpy DLT (no device trip)
+            np.asarray(x1, np.float64), np.asarray(x2, np.float64),
+            pose1.fill_p_matrix(), pose2.fill_p_matrix()))
         z1 = (pose1.R @ X + pose1.t)[2]
         z2 = (pose2.R @ X + pose2.t)[2]
         return z1 > 0 and z2 > 0
@@ -205,9 +214,10 @@ class InitialPair:
         p1 = np.asarray(cand.p1, np.float32)
         p2 = np.asarray(cand.p2, np.float32)
         n = len(p1)
-        P1 = jnp.asarray(np.tile(pose1.fill_p_matrix(), (n, 1, 1)), jnp.float32)
-        P2 = jnp.asarray(np.tile(pose2.fill_p_matrix(), (n, 1, 1)), jnp.float32)
-        X = np.asarray(triangulate_match(jnp.asarray(p1), jnp.asarray(p2), P1, P2)).astype(np.float64)
+        P1 = np.tile(pose1.fill_p_matrix(), (n, 1, 1))
+        P2 = np.tile(pose2.fill_p_matrix(), (n, 1, 1))
+        X = triangulate_match(p1.astype(np.float64), p2.astype(np.float64),
+                              P1, P2)
         z1 = (pose1.R @ X.T).T[:, 2] + pose1.t[2]
         z2 = (pose2.R @ X.T).T[:, 2] + pose2.t[2]
         # Reference criteria via Triangulate: angle, error, chirality; the

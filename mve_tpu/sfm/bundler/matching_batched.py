@@ -28,6 +28,27 @@ from .common import TwoViewMatching, Viewport
 from .matching import MatchingOptions
 
 
+_PAIR_CHUNK = 64  # pairs per dispatch: each pair's score matrix is
+# (bucket x bucket) f32 (~16MB at 2048 descriptors); vmapping all
+# O(V^2) pairs of a large scene at once exhausts HBM.
+
+
+def _chunked_pairs(fn, arrays, n_pairs: int, chunk: int = _PAIR_CHUNK):
+    """Apply `fn` to leading-axis chunks of `arrays`, padding every
+    chunk (including a single short one) to the full chunk size (extra
+    rows repeat row 0; their results are dropped). Bounds memory AND
+    the compile count: any scene size runs through ONE compiled shape."""
+    outs = []
+    for i in range(0, max(n_pairs, 1), chunk):
+        sub = [a[i:i + chunk] for a in arrays]
+        n_real = len(sub[0])
+        if n_real < chunk:
+            sub = [np.concatenate([s] + [s[:1]] * (chunk - n_real))
+                   for s in sub]
+        outs.append(np.asarray(fn(*sub))[:n_real])
+    return np.concatenate(outs)
+
+
 @functools.partial(jax.jit, static_argnames=("lowe_sq",))
 def _match_pairs_kernel(desc, n_desc, pair_a, pair_b, lowe_sq: float):
     """desc: (V, N, D); pair_a/b: (P,). Returns mutual-match target index
@@ -129,9 +150,12 @@ class BatchedMatching:
             nl = opts.num_lowres_features
             lb = max(256, (min(nl, desc.shape[1]) + 255) // 256 * 256)
             n_lr = np.minimum(n_desc, nl).astype(np.int32)
-            m_lr = np.asarray(_match_pairs_kernel(
-                jnp.asarray(desc[:, :lb]), jnp.asarray(n_lr),
-                jnp.asarray(pair_a), jnp.asarray(pair_b), lowe_sq))
+            d_lr = jnp.asarray(desc[:, :lb])
+            d_nlr = jnp.asarray(n_lr)
+            m_lr = _chunked_pairs(
+                lambda pa, pb: _match_pairs_kernel(
+                    d_lr, d_nlr, jnp.asarray(pa), jnp.asarray(pb), lowe_sq),
+                (pair_a, pair_b), len(pair_a))
             counts = (m_lr >= 0).sum(axis=1)
             sel = np.nonzero(counts >= opts.min_lowres_matches)[0]
             if opts.verbose and len(sel) < len(pairs):
@@ -143,9 +167,12 @@ class BatchedMatching:
             pair_a = pair_a[sel]
             pair_b = pair_b[sel]
 
-        m12 = np.asarray(_match_pairs_kernel(
-            jnp.asarray(desc), jnp.asarray(n_desc),
-            jnp.asarray(pair_a), jnp.asarray(pair_b), lowe_sq))
+        d_full = jnp.asarray(desc)
+        d_n = jnp.asarray(n_desc)
+        m12 = _chunked_pairs(
+            lambda pa, pb: _match_pairs_kernel(
+                d_full, d_n, jnp.asarray(pa), jnp.asarray(pb), lowe_sq),
+            (pair_a, pair_b), len(pair_a))
 
         # SURF blocks matched separately and merged with offsets.
         surf_sizes = [len(vp.surf_descriptors) for vp in viewports]
@@ -159,9 +186,13 @@ class BatchedMatching:
                 n = len(vp.surf_descriptors)
                 sdesc[i, :n] = vp.surf_descriptors
                 sn[i] = n
-            m12_surf = np.asarray(_match_pairs_kernel(
-                jnp.asarray(sdesc), jnp.asarray(sn),
-                jnp.asarray(pair_a), jnp.asarray(pair_b), 0.7 ** 2))
+            sd_full = jnp.asarray(sdesc)
+            sd_n = jnp.asarray(sn)
+            m12_surf = _chunked_pairs(
+                lambda pa, pb: _match_pairs_kernel(
+                    sd_full, sd_n, jnp.asarray(pa), jnp.asarray(pb),
+                    0.7 ** 2),
+                (pair_a, pair_b), len(pair_a))
 
         # --- collect raw matches per pair (host)
         raw = []
@@ -200,9 +231,11 @@ class BatchedMatching:
             # Unique 8-subsets per hypothesis via random-key argpartition.
             sample_idx[j] = np.argpartition(
                 rng.rand(H, len(m)), 8, axis=1)[:, :8]
-        inl = np.asarray(_ransac_pairs_kernel(
-            jnp.asarray(p1), jnp.asarray(p2), jnp.asarray(nm),
-            jnp.asarray(sample_idx), H, opts.ransac_opts.threshold ** 2))
+        inl = _chunked_pairs(
+            lambda a1, a2, an, asi: _ransac_pairs_kernel(
+                jnp.asarray(a1), jnp.asarray(a2), jnp.asarray(an),
+                jnp.asarray(asi), H, opts.ransac_opts.threshold ** 2),
+            (p1, p2, nm, sample_idx), P)
 
         result = []
         for j, k in enumerate(keep):

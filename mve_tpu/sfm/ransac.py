@@ -56,21 +56,41 @@ def ransac_fundamental(p1, p2, opts: RansacOptions = RansacOptions(),
         raise ValueError("At least 8 correspondences required")
     B = opts.max_iterations
     idx = _sample_indices(rng, n, 8, B)
-    s1 = jnp.asarray(p1[idx])  # (B, 8, 2)
-    s2 = jnp.asarray(p2[idx])
-    F = fu.fundamental_8_point(s1, s2)  # (B, 3, 3)
-    d = fu.sampson_distance(F, jnp.asarray(p1)[None], jnp.asarray(p2)[None])  # (B, N)
-    # Sampson distance is in squared units; compare to threshold^2
-    # (ransac_fundamental.cc:98).
-    inlier_mask = np.asarray(d < opts.threshold**2)
-    counts = inlier_mask.sum(axis=1)
-    best = int(np.argmax(counts))
-    best_mask = inlier_mask[best]
+    p1p, p2p, valid = _pad_corr(p1, p2, n)
+    F, best_mask, count = _fund_solve_score(
+        jnp.asarray(p1[idx]), jnp.asarray(p2[idx]),
+        jnp.asarray(p1p), jnp.asarray(p2p), jnp.asarray(valid),
+        jnp.asarray(opts.threshold ** 2, jnp.float32))
+    best_mask = np.asarray(best_mask)[:n]
     return RansacResult(
-        model=np.asarray(F)[best],
+        model=np.asarray(F),
         inliers=np.nonzero(best_mask)[0].astype(np.int32),
-        score=int(counts[best]),
+        score=int(count),
     )
+
+
+def _pad_corr(p1, p2, n):
+    """Pad correspondence arrays to a power-of-two bucket: incremental
+    SfM calls these RANSACs with a different N every iteration, and each
+    unique shape is an XLA compile (seconds over the remote tunnel)."""
+    Nb = 1 << max(6, int(np.ceil(np.log2(max(n, 1)))))
+    p1p = np.zeros((Nb, 2), np.float32)
+    p1p[:n] = p1
+    p2p = np.zeros((Nb, 2), np.float32)
+    p2p[:n] = p2
+    return p1p, p2p, np.arange(Nb) < n
+
+
+@_jax.jit
+def _fund_solve_score(s1, s2, p1, p2, valid, thr_sq):
+    """8-point hypotheses + Sampson scoring + best selection, fused
+    (ransac_fundamental.cc:107 in one program)."""
+    F = fu.fundamental_8_point(s1, s2)              # (B, 3, 3)
+    d = fu.sampson_distance(F, p1[None], p2[None])  # (B, Nb)
+    inl = (d < thr_sq) & valid[None]
+    counts = inl.sum(axis=1)
+    best = jnp.argmax(counts)
+    return F[best], inl[best], counts[best]
 
 
 def ransac_homography(p1, p2, opts: RansacOptions | None = None,
@@ -86,16 +106,29 @@ def ransac_homography(p1, p2, opts: RansacOptions | None = None,
         raise ValueError("At least 4 correspondences required")
     B = opts.max_iterations
     idx = _sample_indices(rng, n, 4, B)
-    H = ho.homography_dlt(jnp.asarray(p1[idx]), jnp.asarray(p2[idx]))
-    err = ho.symmetric_transfer_error(H, jnp.asarray(p1)[None], jnp.asarray(p2)[None])
-    inlier_mask = np.asarray(err < opts.threshold**2)
-    counts = inlier_mask.sum(axis=1)
-    best = int(np.argmax(counts))
+    p1p, p2p, valid = _pad_corr(p1, p2, n)
+    H, best_mask, count = _homog_solve_score(
+        jnp.asarray(p1[idx]), jnp.asarray(p2[idx]),
+        jnp.asarray(p1p), jnp.asarray(p2p), jnp.asarray(valid),
+        jnp.asarray(opts.threshold ** 2, jnp.float32))
+    best_mask = np.asarray(best_mask)[:n]
     return RansacResult(
-        model=np.asarray(H)[best],
-        inliers=np.nonzero(inlier_mask[best])[0].astype(np.int32),
-        score=int(counts[best]),
+        model=np.asarray(H),
+        inliers=np.nonzero(best_mask)[0].astype(np.int32),
+        score=int(count),
     )
+
+
+@_jax.jit
+def _homog_solve_score(s1, s2, p1, p2, valid, thr_sq):
+    """4-point DLT hypotheses + symmetric transfer scoring + best
+    selection, fused (ransac_homography.cc:100 in one program)."""
+    H = ho.homography_dlt(s1, s2)
+    err = ho.symmetric_transfer_error(H, p1[None], p2[None])
+    inl = (err < thr_sq) & valid[None]
+    counts = inl.sum(axis=1)
+    best = jnp.argmax(counts)
+    return H[best], inl[best], counts[best]
 
 
 @dataclasses.dataclass

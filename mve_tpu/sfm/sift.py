@@ -584,12 +584,30 @@ def _octave_full(oct_img, num_samples: int, base_sigma: float,
     return xd, yd, sd, od, desc, ok & vd
 
 
+_MAX_FEATURE_BATCH = 10  # views per vmapped dispatch: the octave
+# working set (pyramids + gradients at full resolution) is ~7MB/view
+# per array; 100-view scenes OOM HBM if vmapped whole. 10 matches the
+# benchmark scene size so large scenes reuse the same compiled shapes.
+
+
 def detect_and_describe_batch(images, options: SiftOptions = SiftOptions()):
     """SIFT over a batch of SAME-SHAPE images with vmapped octave stages:
-    3 dispatches per octave for the whole batch instead of per image.
+    a handful of dispatches per octave for the whole batch instead of
+    per image. Batches larger than _MAX_FEATURE_BATCH process in
+    sub-batches (the last one padded to the same shape, results
+    discarded) so HBM stays bounded at any scene size.
 
     Returns a list of SiftResult (one per image).
     """
+    if len(images) > _MAX_FEATURE_BATCH:
+        out = []
+        for i in range(0, len(images), _MAX_FEATURE_BATCH):
+            sub = list(images[i:i + _MAX_FEATURE_BATCH])
+            n_real = len(sub)
+            if n_real < _MAX_FEATURE_BATCH:
+                sub += [sub[-1]] * (_MAX_FEATURE_BATCH - n_real)
+            out.extend(detect_and_describe_batch(sub, options)[:n_real])
+        return out
     grays = [_to_gray_f32(im) for im in images]
     if len(set(g.shape for g in grays)) != 1:
         return [detect_and_describe(g, options) for g in grays]

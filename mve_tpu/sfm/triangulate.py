@@ -1,15 +1,19 @@
 """Triangulation (reference: libs/sfm/triangulate.h/.cc).
 
-DLT two-view and N-view triangulation, batched for device execution, plus
-the Triangulate class-equivalent with angle/error/behind-camera statistics
-used by incremental SfM (triangulate.h:26-128).
+DLT two-view and N-view triangulation, plus the Triangulate
+class-equivalent with angle/error/behind-camera statistics used by
+incremental SfM (triangulate.h:26-128).
+
+Implemented in NUMPY deliberately: these are 4x4 SVD solves whose batch
+sizes change every incremental-SfM iteration — as eager device ops each
+new shape would trigger an XLA compile (seconds over the remote-TPU
+tunnel), dwarfing microseconds of host math.
 """
 
 from __future__ import annotations
 
 import dataclasses
 
-import jax.numpy as jnp
 import numpy as np
 
 
@@ -23,10 +27,10 @@ def triangulate_match(p1, p2, P1, P2):
         x, y = p[..., 0], p[..., 1]
         rows.append(x[..., None] * P[..., 2, :] - P[..., 0, :])
         rows.append(y[..., None] * P[..., 2, :] - P[..., 1, :])
-    A = jnp.stack(rows, axis=-2)  # (..., 4, 4)
-    _, _, vt = jnp.linalg.svd(A)
+    A = np.stack(rows, axis=-2)  # (..., 4, 4)
+    _, _, vt = np.linalg.svd(A)
     X = vt[..., -1, :]
-    return X[..., :3] / jnp.where(jnp.abs(X[..., 3:]) < 1e-30, 1e-30, X[..., 3:])
+    return X[..., :3] / np.where(np.abs(X[..., 3:]) < 1e-30, 1e-30, X[..., 3:])
 
 
 def triangulate_track(positions, pmatrices, valid=None):
@@ -35,20 +39,20 @@ def triangulate_track(positions, pmatrices, valid=None):
     positions: (V, 2); pmatrices: (V, 3, 4); valid: (V,) bool.
     Rows of invalid views are zeroed (they do not constrain the SVD).
     """
-    positions = jnp.asarray(positions)
-    pmatrices = jnp.asarray(pmatrices)
+    positions = np.asarray(positions)
+    pmatrices = np.asarray(pmatrices)
     x = positions[..., 0:1]
     y = positions[..., 1:2]
     r0 = x * pmatrices[..., 2, :] - pmatrices[..., 0, :]
     r1 = y * pmatrices[..., 2, :] - pmatrices[..., 1, :]
-    A = jnp.concatenate([r0, r1], axis=-2) if r0.ndim > 2 else jnp.stack([r0, r1], axis=-2).reshape(-1, 4)
+    A = np.concatenate([r0, r1], axis=-2) if r0.ndim > 2 else np.stack([r0, r1], axis=-2).reshape(-1, 4)
     if valid is not None:
-        mask = jnp.repeat(jnp.asarray(valid), 2)
+        mask = np.repeat(np.asarray(valid), 2)
         # Normalize rows then zero invalid ones so scale doesn't skew SVD.
-        A = jnp.where(mask[:, None], A, 0.0)
-    _, _, vt = jnp.linalg.svd(A, full_matrices=True)
+        A = np.where(mask[:, None], A, 0.0)
+    _, _, vt = np.linalg.svd(A, full_matrices=True)
     X = vt[-1, :]
-    return X[:3] / jnp.where(jnp.abs(X[3]) < 1e-30, 1e-30, X[3])
+    return X[:3] / np.where(np.abs(X[3]) < 1e-30, 1e-30, X[3])
 
 
 def triangulate_tracks_batched(positions, pmatrices, valid):
@@ -61,12 +65,12 @@ def triangulate_tracks_batched(positions, pmatrices, valid):
     y = positions[..., 1:2]
     r0 = x * pmatrices[..., 2, :] - pmatrices[..., 0, :]
     r1 = y * pmatrices[..., 2, :] - pmatrices[..., 1, :]
-    A = jnp.concatenate([r0, r1], axis=-2)  # (T, 2V, 4)
-    mask = jnp.repeat(valid, 2, axis=-1)
-    A = jnp.where(mask[..., None], A, 0.0)
-    _, _, vt = jnp.linalg.svd(A, full_matrices=True)
+    A = np.concatenate([r0, r1], axis=-2)  # (T, 2V, 4)
+    mask = np.repeat(valid, 2, axis=-1)
+    A = np.where(mask[..., None], A, 0.0)
+    _, _, vt = np.linalg.svd(A, full_matrices=True)
     X = vt[..., -1, :]
-    return X[..., :3] / jnp.where(jnp.abs(X[..., 3:]) < 1e-30, 1e-30, X[..., 3:])
+    return X[..., :3] / np.where(np.abs(X[..., 3:]) < 1e-30, 1e-30, X[..., 3:])
 
 
 @dataclasses.dataclass
@@ -94,9 +98,7 @@ def triangulate_with_checks(positions, poses, opts: TriangulateOptions,
     V = len(poses)
     pmats = np.stack([p.fill_p_matrix() for p in poses])
     pos = np.asarray(positions, np.float64)
-    X = np.asarray(triangulate_tracks_batched(
-        jnp.asarray(pos[None]), jnp.asarray(pmats[None]),
-        jnp.ones((1, V), bool)))[0]
+    X = triangulate_tracks_batched(pos[None], pmats[None], np.ones((1, V), bool))[0]
 
     # Behind-camera test.
     for pose in poses:
