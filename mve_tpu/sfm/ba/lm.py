@@ -3,8 +3,13 @@
 Host-side trust-region loop exactly mirroring the reference:
 TRR init 1000, halved on failed step; on success the gain-ratio rule
 TRR *= 1 / max(1/3, 1 - (2g - 1)^3) with
-g = delta_mse * num_obs / predicted_decrease. Each iteration runs three
-jitted device calls: build_system, schur/cg solve, trial evaluation.
+g = delta_mse * num_obs / predicted_decrease. The fast path runs the
+whole loop as ONE device program (core.lm_optimize_device), AOT-compiled
+once per distinct padded shape with the compile time recorded in
+utils.compile_stats — an incremental SfM run pre-sizes the pads to the
+final problem size so the entire run reuses a single compiled program
+per BA mode (the r04 bottleneck was one fresh XLA compile per
+power-of-two bucket growth, dominating 100-view wall-clock).
 """
 
 from __future__ import annotations
@@ -17,6 +22,7 @@ import jax.numpy as jnp
 
 from . import core
 from .problem import BAProblem, BundleMode
+from ...utils import compile_stats
 
 TRUST_REGION_RADIUS_INIT = 1000.0
 TRUST_REGION_RADIUS_DECREMENT = 0.5
@@ -39,6 +45,13 @@ class BAOptions:
     # run the SAME device LM loop with psum collectives (SURVEY §2.9 /
     # parallel/distributed_ba.py). None = single device.
     mesh: object = None
+    # Minimum padded sizes for (cameras, points, observations). An
+    # incremental SfM run sets these ONCE to the final problem bound so
+    # every BA in the run hits the same compiled program; 0 = plain
+    # power-of-two bucketing per call.
+    pad_cameras: int = 0
+    pad_points: int = 0
+    pad_observations: int = 0
 
 
 @dataclasses.dataclass
@@ -71,6 +84,111 @@ def _bucket(n, minimum=64):
     while size < n:
         size *= 2
     return size
+
+
+# AOT-compiled lm_optimize_device executables keyed by
+# (shapes, mode, flags, dtype). Compiling explicitly (rather than
+# relying on jit's internal cache) lets the compile time be measured and
+# attributed exactly.
+_LM_EXECUTABLES: dict = {}
+
+
+def _lm_compiled(key, args, static_kwargs):
+    exe = _LM_EXECUTABLES.get(key)
+    if exe is None:
+        t0 = time.perf_counter()
+        lowered = core.lm_optimize_device.lower(*args, **static_kwargs)
+        exe = lowered.compile()
+        compile_stats.record("ba_lm", (time.perf_counter() - t0) * 1000.0)
+        _LM_EXECUTABLES[key] = exe
+    return exe
+
+
+def optimize_arrays(intr_np, trans_np, rot_np, points_np,
+                    obs_np, cam_idx_np, pt_idx_np,
+                    opts: BAOptions) -> tuple:
+    """Array-level LM optimization.
+
+    Inputs are unpadded numpy arrays: intr (C,3) [f,k0,k1], trans (C,3),
+    rot (C,3,3), points (P,3), obs (O,2), cam_idx (O,), pt_idx (O,).
+    Returns (intr, trans, rot, points, BAStatus) with the same unpadded
+    shapes (float64).
+    """
+    t0 = time.perf_counter()
+    status = BAStatus()
+    dtype = opts.dtype
+    mode = int(opts.bundle_mode)
+
+    C, P, O = len(intr_np), len(points_np), len(obs_np)
+    Cp = max(_bucket(C, 16), opts.pad_cameras)
+    Pp = max(_bucket(P, 256), opts.pad_points)
+    Op = max(_bucket(O, 512), opts.pad_observations)
+    if opts.mesh is not None:
+        m = opts.mesh.size  # shard axis must divide the padded O
+        Op = (Op + m - 1) // m * m
+
+    intr = np.ascontiguousarray(_pad(intr_np, Cp), dtype)
+    # Padded cameras get f=1 so the residual function stays finite.
+    if Cp > C:
+        intr[C:, 0] = 1.0
+    trans = np.ascontiguousarray(_pad(trans_np, Cp), dtype)
+    rot_pad = _pad(rot_np, Cp).astype(dtype)
+    rot_pad[C:] = np.eye(3)
+    points = np.ascontiguousarray(_pad(points_np, Pp), dtype)
+    if Pp > P:
+        points[P:, 2] = 1.0
+    obs = np.ascontiguousarray(_pad(obs_np, Op), dtype)
+    cam_idx = np.pad(cam_idx_np, (0, Op - O))
+    pt_idx = np.pad(pt_idx_np, (0, Op - O))
+    obs_valid = np.arange(Op) < O
+
+    intr = jnp.asarray(intr)
+    trans = jnp.asarray(trans)
+    rot = jnp.asarray(rot_pad)
+    points = jnp.asarray(points)
+    obs = jnp.asarray(obs)
+    cam_idx = jnp.asarray(cam_idx)
+    pt_idx = jnp.asarray(pt_idx)
+    obs_valid = jnp.asarray(obs_valid)
+    num_valid = jnp.asarray(O, dtype)
+
+    kwargs = dict(
+        mode=mode, fixed_intrinsics=opts.fixed_intrinsics,
+        max_iters=opts.lm_max_iterations,
+        cg_max_iter=opts.cg_max_iterations,
+        lm_delta_threshold=opts.lm_delta_threshold,
+        lm_mse_threshold=opts.lm_mse_threshold)
+    args = (intr, trans, rot, points, obs, cam_idx, pt_idx, obs_valid,
+            num_valid)
+    if opts.mesh is not None:
+        from ...parallel.distributed_ba import lm_optimize_distributed
+
+        ii, tt, rr, pp, st = lm_optimize_distributed(opts.mesh, *args,
+                                                     **kwargs)
+    else:
+        key = (Cp, Pp, Op, mode, opts.fixed_intrinsics,
+               opts.lm_max_iterations, opts.cg_max_iterations,
+               opts.lm_delta_threshold, opts.lm_mse_threshold,
+               np.dtype(dtype).str)
+        exe = _lm_compiled(key, args, kwargs)
+        # Thresholds are traced (non-static) scalars; pass them at call
+        # time with the same kwargs pytree the program was lowered with.
+        ii, tt, rr, pp, st = exe(
+            *args, lm_delta_threshold=opts.lm_delta_threshold,
+            lm_mse_threshold=opts.lm_mse_threshold)
+    st = np.asarray(st, np.float64)
+    status.initial_mse = float(st[0])
+    status.final_mse = float(st[1])
+    status.num_lm_iterations = int(st[2])
+    status.num_lm_successful_iterations = int(st[3])
+    status.num_lm_unsuccessful_iterations = int(st[4])
+    status.num_cg_iterations = int(st[5])
+    status.runtime_ms = int((time.perf_counter() - t0) * 1000)
+    return (np.asarray(ii)[:C].astype(np.float64),
+            np.asarray(tt)[:C].astype(np.float64),
+            np.asarray(rr)[:C].astype(np.float64),
+            np.asarray(pp)[:P].astype(np.float64),
+            status)
 
 
 class BundleAdjustment:
@@ -106,21 +224,32 @@ class BundleAdjustment:
     # ------------------------------------------------------------------
     def _lm_optimize(self, problem: BAProblem) -> None:
         opts = self.opts
-        dtype = opts.dtype
-        mode = int(opts.bundle_mode)
 
         intr_np, trans_np, rot_np, cam_const = problem.camera_arrays()
         points_np, pt_const = problem.point_array()
         obs_np, cam_idx_np, pt_idx_np = problem.observation_arrays()
 
+        if not opts.verbose_output:
+            # Fast path: the whole LM loop as one device program.
+            # The verbose path below drives the loop from the host so
+            # per-iteration status can print.
+            ii, tt, rr, pp, self.status = optimize_arrays(
+                intr_np, trans_np, rot_np, points_np,
+                obs_np, cam_idx_np, pt_idx_np, opts)
+            problem.update_from_arrays(ii, tt, rr, pp)
+            return
+
+        dtype = opts.dtype
+        mode = int(opts.bundle_mode)
         C, P, O = len(intr_np), len(points_np), len(obs_np)
-        Cp, Pp, Op = _bucket(C, 16), _bucket(P, 256), _bucket(O, 512)
+        Cp = max(_bucket(C, 16), opts.pad_cameras)
+        Pp = max(_bucket(P, 256), opts.pad_points)
+        Op = max(_bucket(O, 512), opts.pad_observations)
         if opts.mesh is not None:
-            m = opts.mesh.size  # shard axis must divide the padded O
+            m = opts.mesh.size
             Op = (Op + m - 1) // m * m
 
         intr = jnp.asarray(_pad(intr_np, Cp).astype(dtype))
-        # Padded cameras get f=1 so the residual function stays finite.
         if Cp > C:
             intr = intr.at[C:, 0].set(1.0)
         trans = jnp.asarray(_pad(trans_np, Cp).astype(dtype))
@@ -134,41 +263,6 @@ class BundleAdjustment:
         cam_idx = jnp.asarray(np.pad(cam_idx_np, (0, Op - O)))
         pt_idx = jnp.asarray(np.pad(pt_idx_np, (0, Op - O)))
         obs_valid = jnp.asarray(np.arange(Op) < O)
-
-        if not opts.verbose_output:
-            # Fast path: the whole LM loop as one device program
-            # (core.lm_optimize_device). The verbose path below drives the
-            # loop from the host so per-iteration status can print.
-            kwargs = dict(
-                mode=mode, fixed_intrinsics=opts.fixed_intrinsics,
-                max_iters=opts.lm_max_iterations,
-                cg_max_iter=opts.cg_max_iterations,
-                lm_delta_threshold=opts.lm_delta_threshold,
-                lm_mse_threshold=opts.lm_mse_threshold)
-            if opts.mesh is not None:
-                from ...parallel.distributed_ba import lm_optimize_distributed
-
-                ii, tt, rr, pp, status = lm_optimize_distributed(
-                    opts.mesh, intr, trans, rot, points, obs, cam_idx,
-                    pt_idx, obs_valid, jnp.asarray(O, dtype), **kwargs)
-            else:
-                ii, tt, rr, pp, status = core.lm_optimize_device(
-                    intr, trans, rot, points, obs, cam_idx, pt_idx,
-                    obs_valid, jnp.asarray(O, dtype), **kwargs)
-            status = np.asarray(status, np.float64)
-            self.status.initial_mse = float(status[0])
-            self.status.final_mse = float(status[1])
-            self.status.num_lm_iterations = int(status[2])
-            self.status.num_lm_successful_iterations = int(status[3])
-            self.status.num_lm_unsuccessful_iterations = int(status[4])
-            self.status.num_cg_iterations = int(status[5])
-            problem.update_from_arrays(
-                np.asarray(ii)[:C].astype(np.float64),
-                np.asarray(tt)[:C].astype(np.float64),
-                np.asarray(rr)[:C].astype(np.float64),
-                np.asarray(pp)[:P].astype(np.float64),
-            )
-            return
 
         trr = TRUST_REGION_RADIUS_INIT
 

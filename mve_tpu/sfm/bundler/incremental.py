@@ -17,13 +17,11 @@ import jax.numpy as jnp
 
 from ...core.bundle import Bundle, Feature2D, Feature3D
 from ...core.camera import CameraInfo
-from ..ba import (BAProblem, BACamera, BAObservation, BAOptions, BAPoint,
-                  BundleAdjustment, BundleMode)
+from ..ba import BAOptions, BundleMode
 from ..pose import CameraPose
 from ..ransac import RansacOptions, ransac_pose_p3p
-from ..triangulate import triangulate_match
 from .common import (FeatureReference, SurveyPoint, Track, Viewport,
-                     undistort_feature, undistort_features)
+                     undistort_features)
 
 
 @dataclasses.dataclass
@@ -57,21 +55,85 @@ class Incremental:
         self.viewports = viewports
         self.tracks = tracks
         self.survey_points = survey_points or None
+        self._compute_fixed_shapes()
 
     def is_initialized(self) -> bool:
         return bool(self.viewports)
 
     # ------------------------------------------------------------------
+    def _compute_fixed_shapes(self) -> None:
+        """Pre-size padded problem shapes for the WHOLE run.
+
+        Each distinct padded shape of the device LM program / P3P scorer
+        is a full XLA compile (tens of seconds over the remote-TPU
+        tunnel); r04 spent most of its 100-view incremental wall-clock
+        there. Bounds known up front: total feature references never
+        grow (resection outliers are backed up and restored, splits just
+        move refs), so (cams, points, obs) for any full BA are bounded
+        by (#views, #tracks, #refs); single-cam BA by the max per-view
+        feature count."""
+        from ..ba.lm import _bucket
+
+        V = max(len(self.viewports), 1)
+        total_refs = sum(len(t.features) for t in self.tracks)
+        max_feats = max((len(vp.positions) for vp in self.viewports),
+                        default=1)
+        self._pad_full = (_bucket(V, 16),
+                          _bucket(max(len(self.tracks), 1), 256),
+                          _bucket(max(total_refs, 1), 512))
+        self._pad_single = (16, _bucket(max_feats, 256),
+                            _bucket(max_feats, 512))
+        self.opts.pose_p3p_opts.min_pad = _bucket(max_feats, 64)
+        # Flat position table for O(1) vectorized observation gathers.
+        offs = np.zeros(len(self.viewports) + 1, np.int64)
+        for i, vp in enumerate(self.viewports):
+            offs[i + 1] = offs[i] + len(vp.positions)
+        self._pos_off = offs
+        if offs[-1]:
+            self._pos_all = np.concatenate(
+                [np.asarray(vp.positions, np.float64)
+                 if len(vp.positions) else np.zeros((0, 2))
+                 for vp in self.viewports])
+        else:
+            self._pos_all = np.zeros((0, 2))
+
+    def _tier_pads(self, C: int, P: int, O: int) -> tuple:
+        """Shrink the final-run pads by a power-of-4 factor while the
+        current problem still fits: early (small) BAs don't pay the
+        final problem's cost, yet the whole run uses only O(log4) shapes."""
+        Cf, Pf, Of = getattr(self, "_pad_full", (16, 256, 512))
+        pads = (Cf, Pf, Of)
+        s = 4
+        while True:
+            cand = (max(16, Cf // s), max(256, Pf // s), max(512, Of // s))
+            if C <= cand[0] and P <= cand[1] and O <= cand[2]:
+                pads = cand
+                s *= 4
+                if cand == (16, 256, 512):
+                    break
+            else:
+                break
+        return pads
+
+    def _track_valid_array(self) -> np.ndarray:
+        if not self.tracks:
+            return np.zeros(0, bool)
+        pos0 = np.array([t.pos[0] for t in self.tracks])
+        return ~np.isnan(pos0)
+
+    # ------------------------------------------------------------------
     def find_next_views(self) -> List[int]:
         """Rank unreconstructed views by number of valid observed tracks;
         keep those with > 6 (bundler_incremental.cc:55-87)."""
+        track_valid = self._track_valid_array()
         counts = np.zeros(len(self.viewports), np.int64)
-        for track in self.tracks:
-            if not track.is_valid():
+        for i, vp in enumerate(self.viewports):
+            if vp.pose.is_valid():
                 continue
-            for ref in track.features:
-                if not self.viewports[ref.view_id].pose.is_valid():
-                    counts[ref.view_id] += 1
+            tids = np.asarray(vp.track_ids)
+            m = tids >= 0
+            if m.any():
+                counts[i] = np.count_nonzero(track_valid[tids[m]])
         order = np.argsort(-counts, kind="stable")
         return [int(v) for v in order if counts[v] > 6]
 
@@ -80,22 +142,21 @@ class Incremental:
         """P3P-RANSAC resectioning with track backup of outliers
         (bundler_incremental.cc:92-190)."""
         vp = self.viewports[view_id]
-        corr_3d, corr_2d, track_ids, feature_ids = [], [], [], []
-        for fid, tid in enumerate(vp.track_ids):
-            tid = int(tid)
-            if tid < 0 or not self.tracks[tid].is_valid():
-                continue
-            corr_3d.append(self.tracks[tid].pos)
-            corr_2d.append(vp.positions[fid])
-            track_ids.append(tid)
-            feature_ids.append(fid)
-        if len(corr_3d) < 3:
+        track_valid = self._track_valid_array()
+        tids_all = np.asarray(vp.track_ids)
+        sel = np.nonzero((tids_all >= 0)
+                         & track_valid[np.clip(tids_all, 0, None)])[0]
+        if sel.size < 3:
             return False
+        track_ids = tids_all[sel]
+        feature_ids = sel
+        corr_3d = np.stack([self.tracks[int(t)].pos for t in track_ids])
+        corr_2d = np.asarray(vp.positions[sel], np.float64)
 
         K = np.array([[vp.focal_length, 0, 0], [0, vp.focal_length, 0], [0, 0, 1.0]])
         try:
             result = ransac_pose_p3p(
-                np.asarray(corr_3d), np.asarray(corr_2d), K, self.opts.pose_p3p_opts)
+                corr_3d, corr_2d, K, self.opts.pose_p3p_opts)
         except ValueError:
             return False
 
@@ -106,10 +167,10 @@ class Incremental:
             return False
 
         # Back up outlier tracks for later restore.
-        inlier_set = set(int(i) for i in result.inliers)
-        for i, (tid, fid) in enumerate(zip(track_ids, feature_ids)):
-            if i in inlier_set:
-                continue
+        outlier_mask = np.ones(len(sel), bool)
+        outlier_mask[result.inliers] = False
+        for i in np.nonzero(outlier_mask)[0]:
+            tid, fid = int(track_ids[i]), int(feature_ids[i])
             self.tracks[tid].remove_view(view_id)
             vp.track_ids[fid] = -1
             vp.backup_tracks[fid] = tid
@@ -130,23 +191,34 @@ class Incremental:
     # ------------------------------------------------------------------
     def try_restore_tracks_for_views(self) -> None:
         """Re-attach backed-up tracks whose reprojection now fits
-        (bundler_incremental.cc:194-229)."""
+        (bundler_incremental.cc:194-229). Vectorized per view: all
+        backed-up candidates of a view project in one batch."""
+        track_valid = self._track_valid_array()
         for view_id, vp in enumerate(self.viewports):
-            if not vp.pose.is_valid():
+            if not vp.pose.is_valid() or not vp.backup_tracks:
                 continue
+            items = np.array([(fid, tid) for fid, tid in vp.backup_tracks.items()],
+                             np.int64).reshape(-1, 2)
+            fids, tids = items[:, 0], items[:, 1]
+            m = (tids >= 0) & track_valid[np.clip(tids, 0, None)] \
+                & (np.asarray(vp.track_ids)[fids] < 0)
+            if not m.any():
+                continue
+            fids, tids = fids[m], tids[m]
             P = vp.pose.fill_p_matrix()
-            for fid, tid in list(vp.backup_tracks.items()):
-                if tid < 0 or not self.tracks[tid].is_valid() or vp.track_ids[fid] >= 0:
-                    continue
-                pos3d = self.tracks[tid].pos
-                pos2d = undistort_feature(
-                    vp.positions[fid], float(vp.radial_distortion[0]),
-                    float(vp.radial_distortion[1]), vp.focal_length)
-                proj = P @ np.append(pos3d, 1.0)
-                cam_pt = proj[:2] / proj[2]
-                if np.linalg.norm(cam_pt - pos2d) < self.opts.new_track_error_threshold:
-                    vp.track_ids[fid] = tid
-                    self.tracks[tid].features.append(FeatureReference(view_id, fid))
+            pos3d = np.stack([self.tracks[int(t)].pos for t in tids])
+            pos2d = undistort_features(
+                np.asarray(vp.positions[fids], np.float64),
+                float(vp.radial_distortion[0]),
+                float(vp.radial_distortion[1]), vp.focal_length)
+            proj = pos3d @ P[:, :3].T + P[:, 3]
+            z = np.where(np.abs(proj[:, 2:]) < 1e-30, 1e-30, proj[:, 2:])
+            err = np.linalg.norm(proj[:, :2] / z - pos2d, axis=1)
+            for fid, tid in zip(fids[err < self.opts.new_track_error_threshold],
+                                tids[err < self.opts.new_track_error_threshold]):
+                vp.track_ids[int(fid)] = int(tid)
+                self.tracks[int(tid)].features.append(
+                    FeatureReference(view_id, int(fid)))
 
     # ------------------------------------------------------------------
     def triangulate_new_tracks(self, min_num_views: int = 2) -> None:
@@ -318,12 +390,22 @@ class Incremental:
         self._bundle_adjustment_intern(-2)
 
     def _bundle_adjustment_intern(self, single_camera_ba: int) -> None:
-        """Map viewports/tracks to the BA problem and back
-        (bundler_incremental.cc:416-575)."""
+        """Map viewports/tracks to dense BA arrays and back
+        (bundler_incremental.cc:416-575).
+
+        Builds numpy struct-of-arrays directly (no per-observation
+        objects) and calls ba.lm.optimize_arrays with run-wide fixed
+        pads, so every BA of an incremental run reuses a handful of
+        compiled programs. Single-camera BA includes only the points the
+        camera observes — points are constants in CAMERAS mode, so
+        unobserved points contribute nothing, and the restriction keeps
+        its problem shape fixed across the whole run."""
+        from ..ba.lm import optimize_arrays
+
         opts = BAOptions(
             fixed_intrinsics=self.opts.ba_fixed_intrinsics,
             mesh=self.opts.ba_mesh,
-            verbose_output=self.opts.verbose_ba)
+            verbose_output=False)
         if single_camera_ba >= 0:
             opts.bundle_mode = BundleMode.CAMERAS
         elif single_camera_ba == -2:
@@ -331,77 +413,105 @@ class Incremental:
         else:
             opts.bundle_mode = BundleMode.CAMERAS_AND_POINTS
 
-        cameras: List[BACamera] = []
+        valid_pose = np.array([vp.pose.is_valid() for vp in self.viewports])
+        track_valid = self._track_valid_array()
+        if single_camera_ba >= 0:
+            cam_ids = [single_camera_ba] if valid_pose[single_camera_ba] else []
+        else:
+            cam_ids = [i for i in range(len(self.viewports)) if valid_pose[i]]
+        if not cam_ids:
+            return
         cam_mapping = np.full(len(self.viewports), -1, np.int64)
-        for i, vp in enumerate(self.viewports):
-            if single_camera_ba >= 0 and i != single_camera_ba:
-                continue
-            if not vp.pose.is_valid():
-                continue
-            cam_mapping[i] = len(cameras)
-            cameras.append(BACamera(
-                focal_length=vp.pose.get_focal_length(),
-                distortion=vp.radial_distortion.copy(),
-                translation=vp.pose.t.copy(),
-                rotation=vp.pose.R.copy()))
+        cam_mapping[cam_ids] = np.arange(len(cam_ids))
+        intr = np.array([[self.viewports[i].pose.get_focal_length(),
+                          self.viewports[i].radial_distortion[0],
+                          self.viewports[i].radial_distortion[1]]
+                         for i in cam_ids], np.float64)
+        trans = np.array([self.viewports[i].pose.t for i in cam_ids], np.float64)
+        rot = np.array([self.viewports[i].pose.R for i in cam_ids], np.float64)
 
-        points: List[BAPoint] = []
-        observations: List[BAObservation] = []
-        track_mapping = np.full(len(self.tracks), -1, np.int64)
-        for i, track in enumerate(self.tracks):
-            if not track.is_valid():
-                continue
-            track_mapping[i] = len(points)
-            points.append(BAPoint(pos=track.pos.copy()))
-            for ref in track.features:
-                if not self.viewports[ref.view_id].pose.is_valid():
-                    continue
-                if single_camera_ba >= 0 and ref.view_id != single_camera_ba:
-                    continue
-                pos2d = self.viewports[ref.view_id].positions[ref.feature_id]
-                observations.append(BAObservation(
-                    np.asarray(pos2d, np.float64).copy(),
-                    int(cam_mapping[ref.view_id]), int(track_mapping[i])))
+        if single_camera_ba >= 0:
+            # Observed valid tracks only; fixed per-run problem shape.
+            vp = self.viewports[single_camera_ba]
+            tids_all = np.asarray(vp.track_ids)
+            sel = np.nonzero((tids_all >= 0)
+                             & track_valid[np.clip(tids_all, 0, None)])[0]
+            if sel.size == 0:
+                return
+            sel_tids = tids_all[sel]
+            points = np.stack([self.tracks[int(t)].pos for t in sel_tids])
+            obs = np.asarray(vp.positions[sel], np.float64)
+            cam_idx = np.zeros(sel.size, np.int32)
+            pt_idx = np.arange(sel.size, dtype=np.int32)
+            valid_track_idx = sel_tids  # unused for write-back (CAMERAS)
+            opts.pad_cameras, opts.pad_points, opts.pad_observations = \
+                getattr(self, "_pad_single", (0, 0, 0))
+        else:
+            valid_track_idx = np.nonzero(track_valid)[0]
+            if valid_track_idx.size == 0:
+                return
+            track_mapping = np.full(len(self.tracks), -1, np.int64)
+            track_mapping[valid_track_idx] = np.arange(valid_track_idx.size)
+            points = np.stack([self.tracks[int(i)].pos for i in valid_track_idx])
+            ov, of_, ot = [], [], []
+            for k, ti in enumerate(valid_track_idx):
+                for ref in self.tracks[int(ti)].features:
+                    if valid_pose[ref.view_id]:
+                        ov.append(ref.view_id)
+                        of_.append(ref.feature_id)
+                        ot.append(k)
+            if not ov:
+                return
+            ov = np.asarray(ov, np.int64)
+            of_ = np.asarray(of_, np.int64)
+            cam_idx = cam_mapping[ov].astype(np.int32)
+            pt_idx = np.asarray(ot, np.int32)
+            obs = self._pos_all[self._pos_off[ov] + of_]
+            opts.pad_cameras, opts.pad_points, opts.pad_observations = \
+                self._tier_pads(len(cam_ids), points.shape[0], obs.shape[0])
 
         if self.survey_points is not None and self.registered:
+            extra_pts, extra_obs, extra_ci, extra_pi = [], [], [], []
+            base = points.shape[0]
             for sp in self.survey_points:
-                points.append(BAPoint(pos=sp.pos.copy(), is_constant=True))
-                for obs in sp.observations:
-                    if not self.viewports[obs.view_id].pose.is_valid():
+                extra_pts.append(np.asarray(sp.pos, np.float64))
+                for sobs in sp.observations:
+                    if not valid_pose[sobs.view_id]:
                         continue
-                    if single_camera_ba >= 0 and obs.view_id != single_camera_ba:
+                    if single_camera_ba >= 0 and sobs.view_id != single_camera_ba:
                         continue
-                    observations.append(BAObservation(
-                        np.asarray(obs.pos, np.float64).copy(),
-                        int(cam_mapping[obs.view_id]), len(points) - 1))
+                    extra_obs.append(np.asarray(sobs.pos, np.float64))
+                    extra_ci.append(int(cam_mapping[sobs.view_id]))
+                    extra_pi.append(base + len(extra_pts) - 1)
+            if extra_obs:
+                points = np.concatenate([points, np.stack(extra_pts)])
+                obs = np.concatenate([obs, np.stack(extra_obs)])
+                cam_idx = np.concatenate(
+                    [cam_idx, np.asarray(extra_ci, np.int32)])
+                pt_idx = np.concatenate(
+                    [pt_idx, np.asarray(extra_pi, np.int32)])
 
-        if not cameras or not points or not observations:
-            return
-
-        problem = BAProblem(cameras, points, observations)
-        ba = BundleAdjustment(opts)
-        ba.optimize(problem)
-        self.last_ba_status = ba.status
-        if self.opts.verbose_output:
-            ba.print_status()
+        new_intr, new_trans, new_rot, new_points, status = optimize_arrays(
+            intr, trans, rot, points, obs, cam_idx, pt_idx, opts)
+        self.last_ba_status = status
+        if self.opts.verbose_ba:
+            print(f"BA: MSE {status.initial_mse:.6e} -> {status.final_mse:.6e}, "
+                  f"{status.num_lm_iterations} LM iters, "
+                  f"{status.num_cg_iterations} CG iters, {status.runtime_ms} ms")
 
         # Transfer cameras back.
-        for i, vp in enumerate(self.viewports):
-            if cam_mapping[i] < 0:
-                continue
-            cam = cameras[int(cam_mapping[i])]
-            vp.pose.t = cam.translation.copy()
-            vp.pose.R = cam.rotation.copy()
-            vp.radial_distortion[:] = cam.distortion
-            vp.pose.set_k_matrix(cam.focal_length, 0.0, 0.0)
+        for k, i in enumerate(cam_ids):
+            vp = self.viewports[i]
+            vp.pose.t = new_trans[k].copy()
+            vp.pose.R = new_rot[k].copy()
+            vp.radial_distortion[:] = new_intr[k, 1:3]
+            vp.pose.set_k_matrix(float(new_intr[k, 0]), 0.0, 0.0)
 
         if single_camera_ba >= 0:
             return
         # Transfer tracks back.
-        for i, track in enumerate(self.tracks):
-            if track_mapping[i] < 0:
-                continue
-            track.pos = points[int(track_mapping[i])].pos.copy()
+        for k, ti in enumerate(valid_track_idx):
+            self.tracks[int(ti)].pos = new_points[k].copy()
 
     # ------------------------------------------------------------------
     def invalidate_large_error_tracks(self) -> None:

@@ -27,6 +27,11 @@ class RansacOptions:
     max_iterations: int = 1000
     threshold: float = 0.0015  # ransac_fundamental.h:88-90 default
     verbose_output: bool = False
+    # Minimum padded correspondence count. Incremental SfM sets this once
+    # (to the max feature count over all views) so every resection in a
+    # run reuses ONE compiled scoring program instead of compiling each
+    # power-of-two bucket as the track counts grow.
+    min_pad: int = 0
 
 
 def _sample_indices(rng: np.random.RandomState, n: int, k: int, batch: int) -> np.ndarray:
@@ -163,8 +168,9 @@ def ransac_pose_p3p(points_3d, points_2d, K, opts: RansacOptions | None = None,
     # ONE fused device program: P3P solves for all B samples, (B, 4)
     # pose scoring over all N points, argmax — a single tunnel round
     # trip per call instead of an eager op chain. N is padded to powers
-    # of two so an incremental SfM run compiles O(log N) variants.
-    Nb = 1 << max(6, int(np.ceil(np.log2(n))))
+    # of two (or opts.min_pad when set) so an incremental SfM run
+    # compiles O(log N) variants — exactly one with min_pad pre-sized.
+    Nb = max(1 << max(6, int(np.ceil(np.log2(n)))), opts.min_pad)
     X = np.zeros((Nb, 3), np.float32)
     X[:n] = points_3d
     p2d = np.zeros((Nb, 2), np.float32)
