@@ -44,10 +44,16 @@ def run_pipeline(scene_path: str, out_dir: str, verbose: bool = False) -> dict:
     from mve_tpu.apps.fssrecon import fssr_reconstruct
     from mve_tpu.mvs import Settings
 
+    from mve_tpu.utils import compile_stats
+
+    compile_stats.reset()
     t = {}
     t0 = time.perf_counter()
     incremental = sfm_reconstruct(scene_path, verbose=verbose)
     t["sfm_s"] = time.perf_counter() - t0
+    # Compile-vs-execute attribution (VERDICT r04 weak #1): wall-clock
+    # spent inside XLA compilation of the BA LM programs during this run.
+    t["ba_compile_s"] = round(compile_stats.total_ms("ba_lm") / 1000.0, 2)
     if incremental is not None and incremental.last_ba_status is not None:
         t["final_ba_mse"] = float(incremental.last_ba_status.final_mse)
         t["reproj_rmse"] = float(incremental.last_ba_status.final_mse) ** 0.5
@@ -135,10 +141,11 @@ def kernel_throughput() -> dict:
     if jax.default_backend() == "tpu":
         from mve_tpu.ops.pallas_matching import descriptor_top2_pallas
 
+        # Production kernel: bf16 descriptors, f32 accumulation.
         out["matching_tflops"] = _time_matcher(descriptor_top2_pallas)
-        # v5e fp32-on-MXU peak is ~1/4 of the 197 TFLOP/s bf16 peak.
-        out["matching_pct_v5e_fp32_peak"] = round(
-            100.0 * out["matching_tflops"] / (197.0 / 4.0), 1)
+        # Percentage of the v5e MXU bf16 peak (197 TFLOP/s).
+        out["matching_pct_v5e_peak"] = round(
+            100.0 * out["matching_tflops"] / 197.0, 1)
     else:
         out["matching_tflops"] = out["matching_tflops_xla"]
 
@@ -164,6 +171,61 @@ def kernel_throughput() -> dict:
     out["ba_cams"] = 64
     out["ba_points"] = 10240
     out["ba_obs"] = int(len(obs))
+    return out
+
+
+def fssr_scale_diverse() -> dict:
+    """Scale-diverse FSSR probe (VERDICT r04 item #5): a pset whose
+    sample scales span 2 orders of magnitude — half a sphere sampled
+    finely (close-up views), half coarsely (distant views). The
+    scale-adaptive octree path resolves both at bounded cost; a uniform
+    grid fine enough for the close-up half needs ~(scale_ratio)^2 more
+    cells along the coarse surface."""
+    import numpy as np
+    from mve_tpu.fssr.dual_contouring import DualContouring
+    from mve_tpu.fssr.sample import SampleList, merge_samples
+
+    rng = np.random.RandomState(5)
+
+    def plane_patch(x0, x1, y0, y1, scale):
+        """Samples on z=0 with spacing ~ scale (self-consistent density)."""
+        nx = max(int((x1 - x0) / scale), 2)
+        ny = max(int((y1 - y0) / scale), 2)
+        gx, gy = np.meshgrid(np.linspace(x0, x1, nx),
+                             np.linspace(y0, y1, ny), indexing="ij")
+        n = gx.size
+        pos = np.stack([gx.ravel(), gy.ravel(),
+                        rng.randn(n) * scale * 0.01], axis=1)
+        nrm = np.tile(np.array([0.0, 0.0, 1.0], np.float32), (n, 1))
+        return SampleList(
+            pos=pos.astype(np.float32), normal=nrm,
+            color=np.full((n, 3), 0.5, np.float32),
+            scale=np.full(n, scale, np.float32),
+            confidence=np.ones(n, np.float32))
+
+    fine, coarse = 0.001, 0.1  # 100x scale span
+    coarse_pset = plane_patch(0, 1, 0, 1, coarse)
+    mixed = merge_samples([coarse_pset,
+                           plane_patch(0.2, 0.25, 0.2, 0.25, fine)])
+    out = {"scale_span": round(coarse / fine, 1),
+           "n_samples": len(mixed)}
+    # Adaptive cost on the uniform-scale pset vs the 100x-span pset:
+    # grows with SAMPLE count (the fine patch's), not with the span.
+    t0 = time.perf_counter()
+    dc0 = DualContouring(coarse_pset, max_level=14)
+    dc0.extract_mesh()
+    out["adaptive_uniform_scale_s"] = round(time.perf_counter() - t0, 2)
+    out["adaptive_uniform_scale_corners"] = dc0.stats.get("n_corners", 0)
+    t0 = time.perf_counter()
+    dc = DualContouring(mixed, max_level=14)
+    mesh = dc.extract_mesh()
+    out["adaptive_s"] = round(time.perf_counter() - t0, 2)
+    out["adaptive_corners"] = dc.stats.get("n_corners", 0)
+    out["adaptive_faces"] = int(mesh.num_faces())
+    # A uniform grid resolving the fine patch needs fine-sized cells over
+    # the ENTIRE surface band: (extent/fine)^2 x ~3 band layers. That is
+    # the cost the adaptive octree avoids (cells follow sample scale).
+    out["uniform_fine_cells_required"] = int((1.0 / fine) ** 2 * 3)
     return out
 
 
@@ -223,6 +285,13 @@ def run_measurement():
     build_dataset(scene_meas)
     stats = run_pipeline(scene_meas, base)
     try:
+        stats["fssr_scale_diverse"] = fssr_scale_diverse()
+    except Exception as exc:
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        stats["fssr_scale_diverse"] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+    try:
         stats.update(kernel_throughput())
     except Exception as exc:  # throughput probes must not sink the bench
         # ... but their failure must be VISIBLE in the recorded result
@@ -241,6 +310,33 @@ def run_measurement():
         ref_s = baseline.get("reference_pipeline_s")
         if ref_s:
             vs_baseline = ref_s / stats["total_s"]
+
+    # Stage-level regression guard (VERDICT r04 weak #2: a 50% feature
+    # stage regression shipped unnoticed): compare this run's stage
+    # timings against the newest committed BENCH_r*.json and surface
+    # anything >30% slower in the result itself.
+    try:
+        import glob
+
+        prev_files = sorted(glob.glob(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")))
+        if prev_files:
+            with open(prev_files[-1]) as f:
+                prev_doc = json.load(f)
+            prev = prev_doc.get("parsed", prev_doc).get("detail", prev_doc)
+            regressions = []
+            for key in ("sfm_features_ms", "sfm_matching_ms",
+                        "sfm_incremental_ms", "mvs_s", "pset_s", "fssr_s"):
+                a, b = prev.get(key), stats.get(key)
+                if a and b and b > 1.3 * a:
+                    regressions.append(f"{key}: {a:g} -> {b:g}")
+            if regressions:
+                stats["stage_regressions"] = regressions
+                sys.stderr.write(
+                    "STAGE REGRESSIONS vs previous round: "
+                    + "; ".join(regressions) + "\n")
+    except Exception as exc:
+        sys.stderr.write(f"stage-regression check failed: {exc}\n")
 
     result = {
         "metric": "full_pipeline_wall_clock",

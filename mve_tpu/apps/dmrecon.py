@@ -123,6 +123,8 @@ def reconstruct_views(scene_path: str, *, scale: int = 0, view_ids=None,
         fills = list(results.values())
         LAST_STATS["depth_fill"] = float(np.mean(fills))
         LAST_STATS["depth_fill_min"] = float(np.min(fills))
+        LAST_STATS["per_view_fills"] = {
+            int(v): float(f) for v, f in sorted(results.items())}
         if 0 in results:
             LAST_STATS["depth_fill_view0"] = float(results[0])
     if verbose:

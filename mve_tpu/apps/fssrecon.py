@@ -24,16 +24,44 @@ from ..utils.timer import WallTimer
 LAST_STATS: dict = {}
 
 
+#: Streaming engages automatically above this total input sample count
+#: (memory-bounded pipeline; the reference ALWAYS streams its input,
+#: sample_io.cc next_sample — here the in-memory path is faster for
+#: everything that fits, so the switch is by size).
+AUTO_STREAM_SAMPLES = 8_000_000
+
+
 def fssr_reconstruct(input_paths, output_path: str | None = None, *,
                      scale_factor: float = 1.0, use_hermite: bool | None = None,
                      interpolation: str = "cubic",
-                     cell_size: float | None = None, adaptive: bool = False,
+                     cell_size: float | None = None,
+                     adaptive: bool | None = None,
                      refine_octree: int = 0,
                      min_scale: float = 0.0, max_scale: float = 0.0,
                      max_level: int = 10, verbose: bool = True,
-                     stream: bool = False, stream_chunk_size: int = 1 << 20):
+                     stream: bool | None = None,
+                     stream_chunk_size: int = 1 << 20):
+    """adaptive=None -> scale-adaptive octree extraction (the default,
+    like the reference's octree-level-adaptive iso-surface); pass
+    adaptive=False for the uniform grid at ~median sample scale.
+    stream=None -> auto-engage the memory-bounded streaming path above
+    AUTO_STREAM_SAMPLES input samples (uniform-grid, constant memory)."""
     import numpy as _np
 
+    if isinstance(input_paths, str):
+        input_paths = [input_paths]
+    if stream is None:
+        from ..fssr.sample import ply_vertex_count
+
+        try:
+            total = sum(ply_vertex_count(p) for p in input_paths)
+        except (IOError, OSError):
+            total = 0
+        stream = total > AUTO_STREAM_SAMPLES
+        if stream and verbose:
+            print(f"Streaming {total} samples (> {AUTO_STREAM_SAMPLES}).")
+    if adaptive is None:
+        adaptive = not stream
     if stream:
         if adaptive:
             raise ValueError("--stream and --adaptive are exclusive")
@@ -44,8 +72,6 @@ def fssr_reconstruct(input_paths, output_path: str | None = None, *,
             min_scale=min_scale, max_scale=max_scale,
             chunk_size=stream_chunk_size, verbose=verbose)
 
-    if isinstance(input_paths, str):
-        input_paths = [input_paths]
     LAST_STATS.clear()
     t_load = WallTimer()
     sample_lists = []
@@ -89,7 +115,7 @@ def fssr_reconstruct(input_paths, output_path: str | None = None, *,
     if adaptive:
         # Scale-adaptive octree dual contouring (crack-free across
         # levels; resolution follows sample scale like the reference's
-        # adaptive MC).
+        # octree-level-adaptive extraction, iso_surface.cc:445-528).
         from ..fssr.dual_contouring import DualContouring
 
         dc = DualContouring(samples, max_level=max_level,
@@ -99,6 +125,12 @@ def fssr_reconstruct(input_paths, output_path: str | None = None, *,
                   f"took {timer.get_elapsed()}ms.")
         timer.reset()
         mesh = dc.extract_mesh()
+        LAST_STATS["eval_ms"] = dc.stats.get("eval_ms", 0)
+        LAST_STATS["n_voxels"] = dc.stats.get("n_corners", 0)
+        if verbose:
+            print(f"Sampled implicit function at "
+                  f"{LAST_STATS['n_voxels']} octree corners, "
+                  f"took {LAST_STATS['eval_ms']}ms.")
     else:
         grid = IsoOctree(cell_size=cell_size).compute_voxels(samples)
         LAST_STATS["eval_ms"] = timer.get_elapsed()
@@ -109,7 +141,10 @@ def fssr_reconstruct(input_paths, output_path: str | None = None, *,
         timer.reset()
         mesh = IsoSurface(grid, use_hermite=use_hermite,
                           interpolation=interpolation).extract_mesh()
-    LAST_STATS["extract_ms"] = timer.get_elapsed()
+    if adaptive:
+        LAST_STATS["extract_ms"] = dc.stats.get("extract_ms", 0)
+    else:
+        LAST_STATS["extract_ms"] = timer.get_elapsed()
     LAST_STATS["n_faces"] = int(mesh.num_faces())
     if verbose:
         print(f"Extracted {mesh.num_faces()} faces, took {timer.get_elapsed()}ms.")
@@ -208,22 +243,29 @@ def main(argv=None) -> int:
     p.add_argument("--cell-size", type=float, default=None,
                    help="Override voxel grid cell size")
     p.add_argument("--adaptive", action="store_true",
-                   help="Scale-adaptive octree extraction (dual contouring)")
+                   help="(deprecated) scale-adaptive extraction is the default")
+    p.add_argument("--uniform-grid", action="store_true",
+                   help="Uniform voxel grid at ~median sample scale instead "
+                        "of scale-adaptive octree extraction")
     p.add_argument("--max-level", type=int, default=10,
-                   help="Maximum octree level for --adaptive")
+                   help="Maximum octree level for adaptive extraction")
     p.add_argument("--stream", action="store_true",
                    help="Memory-bounded chunked streaming of the input "
-                        "point set (for psets larger than RAM)")
+                        "point set (auto-engaged above "
+                        f"{AUTO_STREAM_SAMPLES} samples)")
     p.add_argument("--stream-chunk-size", type=int, default=1 << 20,
                    help="Samples per streaming chunk [1M]")
     args = p.parse_args(argv)
+    stream = True if args.stream else None
+    adaptive = False if (args.uniform_grid or args.stream) else (
+        True if args.adaptive else None)
     fssr_reconstruct(args.inputs, args.output, scale_factor=args.scale_factor,
                      interpolation=args.interpolation,
                      refine_octree=args.refine_octree,
                      min_scale=args.min_scale, max_scale=args.max_scale,
                      cell_size=args.cell_size,
-                     adaptive=args.adaptive, max_level=args.max_level,
-                     stream=args.stream,
+                     adaptive=adaptive, max_level=args.max_level,
+                     stream=stream,
                      stream_chunk_size=args.stream_chunk_size)
     return 0
 

@@ -272,13 +272,19 @@ def _sample_table(samples) -> np.ndarray:
 
 def run_chunk(part: BlockPartition, samples, out: np.ndarray,
               mode: str = "bisect", thresh: np.ndarray | None = None,
-              hist_log_lo: float = 0.0, hist_inv_width: float = 1.0):
+              hist_log_lo: float = 0.0, hist_inv_width: float = 1.0,
+              mesh=None):
     """Evaluate one sample chunk against the partitioned positions and
     ADD the per-position results into `out`.
 
     mode: 'bisect' (self-contained scale filter; out is (V, 10)),
     'thresh' (fixed per-position thresholds; out is (V, 10)), or
-    'hist' (accumulate scale histograms; out is (V, HIST_BINS))."""
+    'hist' (accumulate scale histograms; out is (V, HIST_BINS)).
+
+    mesh: optional jax.sharding.Mesh — eval-rows are independent, so the
+    dispatch batch axis shards across devices with no collectives (SURVEY
+    §2.9 "shard everything independent"; the OpenMP-over-voxels analog of
+    iso_octree.cc:73)."""
     pos = samples.pos.astype(np.float64)
     scale = samples.scale.astype(np.float64)
     if len(pos) == 0 or len(part.order) == 0:
@@ -299,6 +305,10 @@ def run_chunk(part: BlockPartition, samples, out: np.ndarray,
     sb = np.maximum(_SB_MIN, 1 << np.ceil(
         np.log2(np.maximum(eb_scount, 1))).astype(np.int64))
     d_table = jnp.asarray(_sample_table(samples))
+    if mesh is not None:
+        from ..parallel.mesh import replicate
+
+        d_table = replicate(mesh, d_table)
 
     pending = []  # (device result, vidx, vmask, n_valid)
     for SB in np.unique(sb):
@@ -307,6 +317,8 @@ def run_chunk(part: BlockPartition, samples, out: np.ndarray,
         # ONE dispatch shape (B, _VB, SB) per SB bucket: compile count is
         # bounded by the handful of pow2 SB values, not by run sizes.
         B = max(1, _ELEMS_PER_DISPATCH // (_VB * SBi))
+        if mesh is not None:
+            B = (B + mesh.size - 1) // mesh.size * mesh.size
         for c0 in range(0, len(rows), B):
             sel = rows[c0:c0 + B]
             npad = B - len(sel)
@@ -332,6 +344,14 @@ def run_chunk(part: BlockPartition, samples, out: np.ndarray,
             args = (jnp.asarray(part.pos32[vidx]), jnp.asarray(vmask),
                     d_table, jnp.asarray(sidx.astype(np.int32)),
                     jnp.asarray(smask))
+            if mesh is not None:
+                # Shard the batch axis of everything but the (replicated)
+                # sample table; each device evaluates its rows locally.
+                from ..parallel.mesh import shard_batch
+
+                args = (shard_batch(mesh, args[0]), shard_batch(mesh, args[1]),
+                        d_table, shard_batch(mesh, args[3]),
+                        shard_batch(mesh, args[4]))
             if mode == "bisect":
                 res = _eval_dense(*args)
             elif mode == "thresh":
@@ -352,10 +372,13 @@ def run_chunk(part: BlockPartition, samples, out: np.ndarray,
 
 
 def evaluate_positions_blocked(samples, positions: np.ndarray,
-                               block_cells: float = 4.0) -> np.ndarray:
+                               block_cells: float = 4.0,
+                               mesh=None) -> np.ndarray:
     """Compute the per-voxel FSSR accumulator sums (V, 10) for arbitrary
     positions with the dense block kernel. Drop-in replacement for the
-    pair-list + segment-sum path in iso_octree.evaluate_at_positions."""
+    pair-list + segment-sum path in iso_octree.evaluate_at_positions.
+    With `mesh`, dispatch batches shard across its devices (pure data
+    parallelism over independent eval-rows)."""
     positions = np.asarray(positions, np.float64)
     V = len(positions)
     sums = np.zeros((V, 10), np.float64)
@@ -363,5 +386,5 @@ def evaluate_positions_blocked(samples, positions: np.ndarray,
         return sums
     h = float(np.median(samples.scale.astype(np.float64)))
     part = partition_positions(positions, block_cells * max(h, 1e-12))
-    run_chunk(part, samples, sums, mode="bisect")
+    run_chunk(part, samples, sums, mode="bisect", mesh=mesh)
     return sums

@@ -49,8 +49,14 @@ class DualContouring:
         self.samples = samples
         self.octree = build_octree(samples, max_level=max_level)
         self.interpolation = interpolation
+        #: Sub-stage stats of the last extract_mesh call: n_corners,
+        #: eval_ms (implicit function), extract_ms (topology).
+        self.stats: dict = {}
 
     def extract_mesh(self) -> TriangleMesh:
+        import time as _time
+
+        t_start = _time.perf_counter()
         octree = self.octree
         L = len(octree.leaf_level)
         if L == 0:
@@ -77,7 +83,11 @@ class DualContouring:
         origin = octree.center - octree.root_size / 2.0
         fine_size = octree.root_size / unit
         positions = origin[None, :] + np.stack([cx, cy, cz], axis=-1) * fine_size
+        t_eval0 = _time.perf_counter()
         data = evaluate_at_positions(self.samples, positions)
+        t_eval1 = _time.perf_counter()
+        self.stats["n_corners"] = int(len(positions))
+        self.stats["eval_ms"] = int((t_eval1 - t_eval0) * 1000)
         value = data["value"]
         conf = data["conf"]
         deriv = data["deriv"]
@@ -287,6 +297,8 @@ class DualContouring:
         ok = (f[:, 0] != f[:, 1]) & (f[:, 1] != f[:, 2]) & (f[:, 0] != f[:, 2])
         mesh.faces = f[ok]
         mesh.delete_unreferenced_vertices()
+        self.stats["extract_ms"] = int(
+            (_time.perf_counter() - t_start) * 1000) - self.stats.get("eval_ms", 0)
         return mesh
 
     # ------------------------------------------------------------------

@@ -65,9 +65,11 @@ def build_octree(samples: SampleList, max_level: int = 10,
     center = (aabb_min + aabb_max) / 2.0
     root_size = float((aabb_max - aabb_min).max()) * 1.01
 
-    # Level per sample: node size >= scale > node size of next level.
+    # Level per sample: smallest level with node size <= scale, i.e.
+    # node size in (scale/2, scale] — the reference's descend rule
+    # (octree.cc find_node_descend: stop when node_size <= sample.scale).
     with np.errstate(divide="ignore"):
-        lvl = np.floor(np.log2(root_size / np.maximum(scale, 1e-30))).astype(int)
+        lvl = np.ceil(np.log2(root_size / np.maximum(scale, 1e-30))).astype(int)
     lvl = np.clip(lvl, 0, max_level)
 
     origin = center - root_size / 2.0

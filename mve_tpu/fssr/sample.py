@@ -179,6 +179,23 @@ def load_samples_from_ply(path: str, scale_factor: float = 1.0) -> SampleList:
     return merge_samples(list(stream_samples_from_ply(path, scale_factor)))
 
 
+def ply_vertex_count(path: str) -> int:
+    """Vertex count from the PLY header only (no payload read) — used to
+    decide whether to engage the memory-bounded streaming path."""
+    with open(path, "rb") as f:
+        if not f.readline().startswith(b"ply"):
+            raise IOError(f"{path}: not a PLY file")
+        while True:
+            line = f.readline()
+            if not line:
+                raise IOError(f"{path}: unterminated PLY header")
+            parts = line.decode("ascii", "replace").split()
+            if parts[:1] == ["end_header"]:
+                return 0
+            if parts[:2] == ["element", "vertex"]:
+                return int(parts[2])
+
+
 def merge_samples(lists) -> SampleList:
     lists = [s for s in lists if len(s)]
     if not lists:

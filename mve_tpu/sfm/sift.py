@@ -391,6 +391,7 @@ def _compute_descriptors(grad, ori, x, y, samp, orientation, valid,
     H, W = grad.shape[1], grad.shape[2]
     PXB, OHB = 4, 8
     R = _DESC_WIN
+    chunk = min(chunk, x.shape[0])
 
     dxs = jnp.arange(-R, R + 1, dtype=jnp.float32)
     DX, DY = jnp.meshgrid(dxs, dxs, indexing="xy")
@@ -526,15 +527,42 @@ def _octave_orientations(gauss, x, y, samp, valid, num_samples: int,
 
 
 def _to_gray_f32(image) -> np.ndarray:
+    """Grayscale conversion in pure numpy: image_tools.desaturate is an
+    eager-jnp device path, and calling it per image costs several tunnel
+    round trips each on the remote-TPU backend (~2.5s of the r04 feature
+    stage). Same luminosity weights (image_tools.desaturate default)."""
     img = np.asarray(image)
     if img.ndim == 3:
-        if img.shape[2] == 3:
-            img = np.asarray(image_tools.desaturate(image_tools.to_float(img)))[:, :, 0]
+        if img.shape[2] >= 3:
+            f = image_tools.to_float(img)
+            img = (0.21 * f[:, :, 0] + 0.72 * f[:, :, 1] + 0.07 * f[:, :, 2])
         else:
             img = image_tools.to_float(img)[:, :, 0]
     else:
         img = image_tools.to_float(img)
-    return img.astype(np.float32)
+    return np.asarray(img, np.float32)
+
+
+@jax.jit
+def _compact_keypoints(x, y, s, keep):
+    """Pack valid keypoints into the first half of the slot array.
+
+    _octave_detect's top_k orders candidates by extremum strength, and
+    the argsort on validity is stable, so the surviving keypoints stay
+    strongest-first and any overflow past cap/2 drops the weakest.
+    Real keypoint counts run ~3x below cap (top_k admission is
+    deliberately generous), so the halved slot count removes half the
+    orientation/descriptor work without touching real keypoints."""
+    cap2 = x.shape[0] // 2
+    order = jnp.argsort(~keep, stable=True)[:cap2]
+    xd = x[order]
+    yd = y[order]
+    sd = s[order]
+    kd = keep[order]
+    xd = jnp.where(kd, xd, 8.0)
+    yd = jnp.where(kd, yd, 8.0)
+    sd = jnp.where(kd, sd, 0.0)
+    return xd, yd, sd, kd
 
 
 @functools.partial(jax.jit, static_argnames=("max_ori",))
@@ -575,6 +603,7 @@ def _octave_full(oct_img, num_samples: int, base_sigma: float,
     gauss, x, y, s, keep = _octave_detect(
         oct_img, num_samples, base_sigma, has_sigma, cap, contrast_thr,
         edge_thr)
+    x, y, s, keep = _compact_keypoints(x, y, s, keep)
     grad, orient, oris, ori_valid = _octave_orientations(
         gauss, x, y, s, keep, num_samples, base_sigma, max_ori)
     xd, yd, sd, od, vd = _compact_slots(x, y, s, oris, ori_valid, keep,
@@ -582,6 +611,16 @@ def _octave_full(oct_img, num_samples: int, base_sigma: float,
     desc, ok = _compute_descriptors(grad, orient, xd, yd, sd, od, vd,
                                     num_samples, base_sigma)
     return xd, yd, sd, od, desc, ok & vd
+
+
+@jax.jit
+def _half_size_batch(batch):
+    """Jitted batched gaussian half-size: ONE device program per octave
+    step. (An unjitted vmap executes op-by-op — tens of eager dispatches
+    each paying tunnel latency; this was the single largest cost of the
+    r04 feature stage at ~0.3-0.9s per octave.)"""
+    return jax.vmap(lambda im: image_tools.rescale_half_size_gaussian(
+        im[:, :, None])[:, :, 0])(batch)
 
 
 _MAX_FEATURE_BATCH = 10  # views per vmapped dispatch: the octave
@@ -625,7 +664,7 @@ def detect_and_describe_batch(images, options: SiftOptions = SiftOptions()):
     if opts.min_octave < 0:
         return [detect_and_describe(g, options) for g in grays]
     for _ in range(opts.min_octave):
-        base = jax.vmap(lambda im: image_tools.rescale_half_size_gaussian(im[:, :, None])[:, :, 0])(base)
+        base = _half_size_batch(base)
 
     # One fused dispatch per octave; results fetched asynchronously at
     # the end (device round trips were the old path's dominant cost).
@@ -639,8 +678,7 @@ def detect_and_describe_batch(images, options: SiftOptions = SiftOptions()):
             opts.eff_contrast_threshold, opts.edge_ratio_threshold,
             opts.max_orientations_per_keypoint))
         pending.append((o, full(base)))
-        base = jax.vmap(lambda im: image_tools.rescale_half_size_gaussian(
-            im[:, :, None])[:, :, 0])(base)
+        base = _half_size_batch(base)
         img_sigma = opts.base_blur_sigma
         o += 1
 

@@ -97,7 +97,9 @@ def test_fssrecon_stream_cli_and_memory(tmp_path):
 
     p1 = str(tmp_path / "pset1.ply")
     write_pset(p1, 4000)
-    m_mem = fssr_reconstruct(p1, verbose=False)
+    # adaptive=False: the streaming path is the memory-bounded variant
+    # of the UNIFORM grid, so parity is checked against that.
+    m_mem = fssr_reconstruct(p1, verbose=False, adaptive=False)
     m_str = fssr_reconstruct(p1, verbose=False, stream=True,
                              stream_chunk_size=512)
     # Same surface (up to float noise in the accumulators).

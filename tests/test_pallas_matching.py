@@ -34,7 +34,7 @@ def test_pallas_matches_xla_exact_tiles(n1, n2):
     q = _unit_descriptors(n1, seed=1)
     r = _unit_descriptors(n2, seed=2)
     idx_p, d1_p, d2_p = descriptor_top2_pallas(
-        jnp.asarray(q), jnp.asarray(r), interpret=True)
+        jnp.asarray(q), jnp.asarray(r), interpret=True, bf16=False)
     idx_x, d1_x, d2_x = descriptor_top2(jnp.asarray(q), jnp.asarray(r))
     np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_x))
     np.testing.assert_allclose(np.asarray(d1_p), np.asarray(d1_x), atol=1e-5)
@@ -49,7 +49,7 @@ def test_pallas_matches_xla_ragged(n1, n2):
     qp = _pad_rows(q, TM)
     rp = _pad_rows(r, TN)
     idx_p, d1_p, d2_p = descriptor_top2_pallas(
-        jnp.asarray(qp), jnp.asarray(rp), interpret=True)
+        jnp.asarray(qp), jnp.asarray(rp), interpret=True, bf16=False)
     idx_p = np.asarray(idx_p)[:n1]
     d1_p = np.asarray(d1_p)[:n1]
     d2_p = np.asarray(d2_p)[:n1]
@@ -77,7 +77,7 @@ def test_pallas_single_real_reference_padding_edge():
     qp = _pad_rows(q, TM)
     rp = _pad_rows(r, TN)
     idx, d1, d2 = descriptor_top2_pallas(
-        jnp.asarray(qp), jnp.asarray(rp), interpret=True)
+        jnp.asarray(qp), jnp.asarray(rp), interpret=True, bf16=False)
     idx = np.asarray(idx)[:5]
     d1 = np.asarray(d1)[:5]
     d2 = np.asarray(d2)[:5]
