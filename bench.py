@@ -124,17 +124,25 @@ def kernel_throughput() -> dict:
     descriptor_top2 = jax.jit(_top2)
     N = M = 8192
     rng = np.random.RandomState(0)
-    d1 = jnp.asarray(rng.rand(N, 128).astype(np.float32))
-    d2 = jnp.asarray(rng.rand(M, 128).astype(np.float32))
+    # UNIQUE buffer pairs per timed call: repeating one (executable,
+    # buffers) pair produced physically impossible rates on this runner
+    # (result caching in the remote-execution layer), so each timed call
+    # gets fresh inputs and is synced individually.
+    NB = 6
+    d1s = [jnp.asarray(rng.rand(N, 128).astype(np.float32))
+           for _ in range(NB)]
+    d2s = [jnp.asarray(rng.rand(M, 128).astype(np.float32))
+           for _ in range(NB)]
+    jax.block_until_ready((d1s, d2s))
 
     def _time_matcher(fn):
-        jax.block_until_ready(fn(d1, d2))
-        t0 = time.perf_counter()
-        reps = 10
-        for _ in range(reps):
-            res = fn(d1, d2)
-        jax.block_until_ready(res)
-        dt = (time.perf_counter() - t0) / reps
+        jax.block_until_ready(fn(d1s[0], d2s[0]))
+        times = []
+        for i in range(1, NB):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(d1s[i], d2s[i]))
+            times.append(time.perf_counter() - t0)
+        dt = sorted(times)[len(times) // 2]  # median single-call latency
         return round(2.0 * N * M * 128 / dt / 1e12, 3)
 
     out["matching_tflops_xla"] = _time_matcher(descriptor_top2)
@@ -153,24 +161,31 @@ def kernel_throughput() -> dict:
     import __graft_entry__ as g
     from mve_tpu.sfm.ba import core as ba_core
 
-    intr, trans, rot, pts, obs, ci, pi, valid = g._synthetic_ba_problem(
-        n_cams=64, n_pts=10_240, n_obs_per_pt=4)
-    args = (jnp.asarray(intr), jnp.asarray(trans), jnp.asarray(rot),
-            jnp.asarray(pts), jnp.asarray(obs), jnp.asarray(ci),
-            jnp.asarray(pi), jnp.asarray(valid),
-            jnp.asarray(float(valid.sum()), jnp.float32))
+    # Distinct problem instances for warmup vs timing (identical
+    # (executable, buffers) pairs can be served from a result cache on
+    # this runner — see _time_matcher).
+    def _args(seed):
+        intr, trans, rot, pts, obs, ci, pi, valid = g._synthetic_ba_problem(
+            n_cams=64, n_pts=10_240, n_obs_per_pt=4, seed=seed)
+        return (jnp.asarray(intr), jnp.asarray(trans), jnp.asarray(rot),
+                jnp.asarray(pts), jnp.asarray(obs), jnp.asarray(ci),
+                jnp.asarray(pi), jnp.asarray(valid),
+                jnp.asarray(float(valid.sum()), jnp.float32)), len(obs)
+
     kw = dict(max_iters=10, cg_max_iter=100, lm_delta_threshold=0.0,
               lm_mse_threshold=0.0)
-    jax.block_until_ready(ba_core.lm_optimize_device(*args, **kw)[4])
+    warm_args, _ = _args(0)
+    jax.block_until_ready(ba_core.lm_optimize_device(*warm_args, **kw)[4])
+    timed_args, n_obs_total = _args(1)
     t0 = time.perf_counter()
-    st = ba_core.lm_optimize_device(*args, **kw)[4]
+    st = ba_core.lm_optimize_device(*timed_args, **kw)[4]
     st = np.asarray(st, np.float64)
     dt = time.perf_counter() - t0
     iters = max(st[2], 1.0)
     out["ba_ms_per_lm_iter"] = round(dt * 1000.0 / iters, 2)
     out["ba_cams"] = 64
     out["ba_points"] = 10240
-    out["ba_obs"] = int(len(obs))
+    out["ba_obs"] = int(n_obs_total)
     return out
 
 

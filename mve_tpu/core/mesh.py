@@ -68,8 +68,10 @@ class TriangleMesh:
         if face_normals:
             self.face_normals = fn_unit.astype(np.float32)
         if vertex_normals:
-            vn = np.zeros((self.num_vertices(), 3), np.float64)
-            # Angle weights per corner.
+            nv = self.num_vertices()
+            vn = np.zeros((nv, 3), np.float64)
+            # Angle weights per corner; bincount is ~10x np.add.at for
+            # the scatter-add (pset stage hot path, scene2pset.cc:264).
             for c, (a, b) in enumerate([(1, 2), (2, 0), (0, 1)]):
                 pc = self.vertices[self.faces[:, c]]
                 pa = self.vertices[self.faces[:, a]]
@@ -80,7 +82,10 @@ class TriangleMesh:
                     np.linalg.norm(e1, axis=1) * np.linalg.norm(e2, axis=1), 1e-32
                 )
                 ang = np.arccos(np.clip(cosang, -1.0, 1.0))
-                np.add.at(vn, self.faces[:, c], fn_unit * ang[:, None])
+                w = fn_unit * ang[:, None]
+                idx = self.faces[:, c]
+                for d in range(3):
+                    vn[:, d] += np.bincount(idx, weights=w[:, d], minlength=nv)
             n = np.linalg.norm(vn, axis=1, keepdims=True)
             self.vertex_normals = (vn / np.maximum(n, 1e-32)).astype(np.float32)
 
@@ -132,8 +137,7 @@ class MeshInfo:
         nv = mesh.num_vertices()
         faces = mesh.faces
         # vertex -> faces adjacency as CSR, built by sorting corner records.
-        counts = np.zeros(nv, np.int64)
-        np.add.at(counts, faces.reshape(-1), 1)
+        counts = np.bincount(faces.reshape(-1), minlength=nv).astype(np.int64)
         self.vf_off = np.zeros(nv + 1, np.int64)
         np.cumsum(counts, out=self.vf_off[1:])
         corner_v = faces.reshape(-1)

@@ -630,6 +630,79 @@ def _solve_view_sweep(ref, neigh, nvalid, T, tvec, ray_z,
     bzx = jnp.clip(_box_sum(gx, 3) / 9.0, -cap, cap)
     bzy = jnp.clip(_box_sum(gy, 3) / 9.0, -cap, cap)
 
+    # Final CENTER-PLANE acceptance pass: the box NCC used through the
+    # solve warps every window tap at that tap's OWN depth-field value,
+    # so at depth boundaries (where window neighbors hold the other
+    # surface, or no estimate) taps go invalid and the score collapses —
+    # a 1-2px rejection band around every filled region (~3 fill points
+    # vs the reference on the r04 bench). The reference scores the
+    # CENTER pixel's patch plane across the whole window
+    # (patch_sampler.cc computePatchPoints + getFastNCC), which stays
+    # well-defined right up to the boundary. Re-run per-view NCC with
+    # the converged center plane, re-select views on THOSE scores
+    # (selection from box scores would re-introduce the collapse), and
+    # accept on the better of the two scores.
+    if use_local:
+        from .patch import _plane_tap_sums
+
+        Jn = neigh.shape[0]
+        jidx_all = jnp.arange(Jn)[:, None, None, None]
+
+        def gather_all(v0i, u0i):
+            return neigh[jidx_all, v0i, u0i]
+
+        def plane_scores(dd, zx, zy):
+            """Mean-of-selected center-plane NCC for (K, H, W) plane
+            stacks. View selection mirrors performVS on PROPAGATED
+            pixels: any positive-NCC diverse view qualifies (min_ncc
+            gates only fresh candidates in the reference,
+            local_view_selection.cc:30-44,78)."""
+            ncc_k, valid_k = _plane_tap_sums(
+                ref, neigh, T[:, None, None, None],
+                tvec[:, None, None, None], gather_all, ray_z, dd, zx, zy,
+                fw, (Jn,))
+            ncc_k = jnp.where(valid_k & nvalid[:, None, None, None],
+                              ncc_k, -1.0)
+            outs = []
+            for ki in range(dd.shape[0]):
+                ncc_p = ncc_k[:, ki]
+                sel_f, ok_f = _local_view_selection(
+                    ncc_p, nvalid, dd[ki], ray_world, cam_rel, k, 0.0,
+                    min_parallax)
+                sel_ncc = jnp.take_along_axis(ncc_p, sel_f, axis=0)
+                psk, _ = _combine_sel(sel_ncc, ok_f)
+                outs.append(psk)
+            return jnp.stack(outs)
+
+        ps = plane_scores(bd[None], bzx[None], bzy[None])[0]
+        bs = jnp.maximum(bs, ps)
+
+        # Plane-scored region growing into the band the box phase could
+        # not accept: extrapolate each 4-neighbor's converged plane to
+        # this pixel (the reference's processQueue pushes neighbors with
+        # the optimized patch as the seed) and keep whichever plane
+        # scores best under the same acceptance NCC.
+        shifts = ((0, 1), (0, -1), (1, 0), (-1, 0))
+        for _ in range(2):
+            cd = jnp.stack([
+                jnp.roll(bd, (dy, dx), (0, 1))
+                + jnp.roll(bzx, (dy, dx), (0, 1)) * dx
+                + jnp.roll(bzy, (dy, dx), (0, 1)) * dy
+                for dy, dx in shifts])
+            czx = jnp.stack([jnp.roll(bzx, (dy, dx), (0, 1))
+                             for dy, dx in shifts])
+            czy = jnp.stack([jnp.roll(bzy, (dy, dx), (0, 1))
+                             for dy, dx in shifts])
+            cs = plane_scores(cd, czx, czy)
+            alld = jnp.concatenate([bd[None], cd])
+            allzx = jnp.concatenate([bzx[None], czx])
+            allzy = jnp.concatenate([bzy[None], czy])
+            alls = jnp.concatenate([bs[None], cs])
+            pick = jnp.argmax(alls, axis=0)[None]
+            take = lambda a: jnp.take_along_axis(a, pick, axis=0)[0]
+            bd, bzx, bzy, bs = (take(alld), take(allzx), take(allzy),
+                                take(alls))
+
     # --- confidence + acceptance (patch_optimization.cc:120-142): the
     # reference's score is (MEAN selected NCC - acceptNCC)/(1 - accept)
     # — per-view NCC dips trigger view replacement during optimization

@@ -24,7 +24,8 @@ TM = 1024  # query rows per tile (1-D f32 outputs are 1024-tiled in XLA's
 TN = 512   # reference columns per chunk
 
 
-def _top2_kernel(q_ref, r_ref, best_ref, second_ref, idx_ref):
+def _top2_kernel(q_ref, r_ref, best_ref, second_ref, idx_ref,
+                 precision=None):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -33,11 +34,18 @@ def _top2_kernel(q_ref, r_ref, best_ref, second_ref, idx_ref):
         second_ref[:] = jnp.full((TM,), -jnp.inf, jnp.float32)
         idx_ref[:] = jnp.zeros((TM,), jnp.int32)
 
-    # (TM, D) x (D, TN) on the MXU.
+    # (TM, D) x (D, TN) on the MXU. The explicit precision matters: the
+    # package sets jax_default_matmul_precision=highest globally (6-pass
+    # f32 emulation), which silently applied INSIDE this kernel too and
+    # made it lose to the XLA fallback in r04. Matching needs only bf16
+    # mantissa (the reference discretizes descriptors to int16/uint8,
+    # exhaustive_matching.cc), so the production path requests DEFAULT =
+    # one bf16 MXU pass with f32 accumulation.
     scores = jax.lax.dot_general(
         q_ref[:], r_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=precision,
     )
     chunk_best = jnp.max(scores, axis=1)
     chunk_arg = jnp.argmax(scores, axis=1).astype(jnp.int32)
@@ -69,20 +77,19 @@ def descriptor_top2_pallas(query, refs, interpret: bool = False,
     """query: (N1, D), refs: (N2, D) with N1 % TM == 0, N2 % TN == 0 and
     D % 128 == 0. Returns (idx, dist1, dist2) like ops.matching.
 
-    bf16=True streams the descriptors through the MXU in bfloat16 with
-    float32 accumulation — 4x the f32 matmul rate on TPU. Descriptors
-    are unit-norm with 0.2-clamped entries (sift.cc:832-840) and the
+    bf16=True runs the MXU contraction at DEFAULT precision (one bf16
+    pass, f32 accumulation) instead of the package-global `highest`
+    (6-pass f32 emulation) — 4-6x the matmul rate. Descriptors are
+    unit-norm with 0.2-clamped entries (sift.cc:832-840) and the
     reference itself matches on int16/uint8-DISCRETIZED descriptors
     (exhaustive_matching.cc init), so bf16's ~3 decimal digits lose
     nothing the pipeline relies on; scores accumulate in f32."""
     N1, D = query.shape
     N2 = refs.shape[0]
-    if bf16:
-        query = query.astype(jnp.bfloat16)
-        refs = refs.astype(jnp.bfloat16)
+    precision = jax.lax.Precision.DEFAULT if bf16 else jax.lax.Precision.HIGHEST
     grid = (N1 // TM, N2 // TN)
     best, second, idx = pl.pallas_call(
-        _top2_kernel,
+        functools.partial(_top2_kernel, precision=precision),
         grid=grid,
         in_specs=[
             pl.BlockSpec((TM, D), lambda i, j: (i, 0), memory_space=pltpu.VMEM),

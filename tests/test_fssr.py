@@ -94,3 +94,36 @@ def test_samples_from_mesh_cleaning():
     # Zero normal and negative scale dropped.
     assert len(s) == 1
     np.testing.assert_allclose(s.pos[0], [0, 0, 0])
+
+
+def test_block_eval_scale_diverse_octave_groups():
+    """Scale-diverse sample sets (100x span) evaluate via octave-grouped
+    two-pass block evaluation; result must match the single-partition
+    bisect path up to the documented histogram-bin quantization of
+    the scale-filter threshold (streaming.py pass C semantics)."""
+    import numpy as np
+
+    from mve_tpu.fssr.block_eval import (evaluate_positions_blocked,
+                                         partition_positions, run_chunk)
+    from mve_tpu.fssr.sample import SampleList, merge_samples
+
+    rng = np.random.RandomState(3)
+
+    def patch(x0, x1, y0, y1, scale, n):
+        pos = np.stack([rng.uniform(x0, x1, n), rng.uniform(y0, y1, n),
+                        rng.randn(n) * scale * 0.01], 1)
+        nrm = np.tile(np.array([0, 0, 1], np.float32), (n, 1))
+        return SampleList(pos=pos.astype(np.float32), normal=nrm,
+                          color=np.full((n, 3), 0.5, np.float32),
+                          scale=np.full(n, scale, np.float32),
+                          confidence=np.ones(n, np.float32))
+
+    s = merge_samples([patch(0, 1, 0, 1, 0.1, 60),
+                       patch(0.2, 0.25, 0.2, 0.25, 0.001, 300)])
+    q = np.stack([rng.uniform(0, 1, 500), rng.uniform(0, 1, 500),
+                  rng.uniform(-0.05, 0.05, 500)], 1)
+    diverse = evaluate_positions_blocked(s, q)
+    ref = np.zeros((len(q), 10))
+    run_chunk(partition_positions(q, 4.0 * 0.1), s, ref, mode="bisect")
+    assert np.abs(ref).sum() > 0
+    np.testing.assert_allclose(diverse, ref, rtol=1e-4, atol=1e-4)

@@ -86,12 +86,11 @@ def test_mvs_stage(reconstructed_scene):
     # Fill gate anchored to the REFERENCE binaries run on THIS exact
     # scene (2026-08-21, rebuilt reference dmrecon -s1 on the fixture
     # scene): reference per-view fills [0.540, 0.516, 0.514, 0.519,
-    # 0.541, 0.512], mean 0.5238; this solver measured 0.5247 on the
-    # same input. Gate a hair under parity so quality can no longer be
-    # traded for speed silently (round-3 regression: fill fell to 0.69
-    # on the bench scene while e2e only asserted > 0.3).
-    assert dmapp.LAST_STATS["depth_fill"] > 0.50, dmapp.LAST_STATS
-    assert (depth > 0).mean() > 0.48, f"view0 fill {(depth > 0).mean():.3f}"
+    # 0.541, 0.512], mean 0.5238. Gate AT parity minus measurement noise
+    # (r05: >= 0.52) so shipping worse-than-reference fill fails the
+    # suite (r04 gated a hair under parity and the gap sat green).
+    assert dmapp.LAST_STATS["depth_fill"] >= 0.52, dmapp.LAST_STATS
+    assert (depth > 0).mean() > 0.50, f"view0 fill {(depth > 0).mean():.3f}"
 
 
 def test_fusion_and_fssr_stage(reconstructed_scene, e2e_dir):
