@@ -319,6 +319,7 @@ def run_measurement():
     baseline_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "bench_baseline.json")
     vs_baseline = None
+    baseline = {}
     if os.path.isfile(baseline_file):
         with open(baseline_file) as f:
             baseline = json.load(f)
@@ -377,6 +378,19 @@ def run_measurement():
                                  height=HEIGHT, seed=SEED, with_cameras=False)
             large = run_pipeline(scene_large, base)
             large["n_views"] = n_views
+            # Track-count sanity vs the reference on the SAME scene
+            # (VERDICT r04 weak #8): reference_n_tracks_100v measured by
+            # running the reference sfmrecon binaries on this generator's
+            # 100-view scene (see BASELINE.md).
+            ref_tracks = baseline.get("reference_n_tracks_100v")
+            if ref_tracks and large.get("n_tracks"):
+                large["n_tracks_reference"] = ref_tracks
+                large["n_tracks_ratio"] = round(
+                    large["n_tracks"] / ref_tracks, 3)
+                if large["n_tracks_ratio"] < 0.5:
+                    sys.stderr.write(
+                        f"TRACK-COUNT WARNING: {large['n_tracks']} tracks "
+                        f"vs reference {ref_tracks}\n")
             out_path = os.path.join(
                 os.path.dirname(os.path.abspath(__file__)), "BENCH_LARGE.json")
             with open(out_path, "w") as f:

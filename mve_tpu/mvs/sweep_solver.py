@@ -651,37 +651,25 @@ def _solve_view_sweep(ref, neigh, nvalid, T, tvec, ray_z,
         def gather_all(v0i, u0i):
             return neigh[jidx_all, v0i, u0i]
 
-        def plane_scores(dd, zx, zy):
-            """Mean-of-selected center-plane NCC for (K, H, W) plane
-            stacks. View selection mirrors performVS on PROPAGATED
-            pixels: any positive-NCC diverse view qualifies (min_ncc
-            gates only fresh candidates in the reference,
+        def select_and_mean(ncc_p, dd):
+            """performVS-on-propagated-pixels selection + acceptance
+            mean: any positive-NCC diverse view qualifies (min_ncc gates
+            only FRESH candidates in the reference,
             local_view_selection.cc:30-44,78)."""
-            ncc_k, valid_k = _plane_tap_sums(
-                ref, neigh, T[:, None, None, None],
-                tvec[:, None, None, None], gather_all, ray_z, dd, zx, zy,
-                fw, (Jn,))
-            ncc_k = jnp.where(valid_k & nvalid[:, None, None, None],
-                              ncc_k, -1.0)
-            outs = []
-            for ki in range(dd.shape[0]):
-                ncc_p = ncc_k[:, ki]
-                sel_f, ok_f = _local_view_selection(
-                    ncc_p, nvalid, dd[ki], ray_world, cam_rel, k, 0.0,
-                    min_parallax)
-                sel_ncc = jnp.take_along_axis(ncc_p, sel_f, axis=0)
-                psk, _ = _combine_sel(sel_ncc, ok_f)
-                outs.append(psk)
-            return jnp.stack(outs)
+            sel_f, ok_f = _local_view_selection(
+                ncc_p, nvalid, dd, ray_world, cam_rel, k, 0.0,
+                min_parallax)
+            sel_ncc = jnp.take_along_axis(ncc_p, sel_f, axis=0)
+            psk, _ = _combine_sel(sel_ncc, ok_f)
+            return psk
 
-        ps = plane_scores(bd[None], bzx[None], bzy[None])[0]
-        bs = jnp.maximum(bs, ps)
-
-        # Plane-scored region growing into the band the box phase could
+        # Box-scored region growing into the band the strict phase could
         # not accept: extrapolate each 4-neighbor's converged plane to
         # this pixel (the reference's processQueue pushes neighbors with
-        # the optimized patch as the seed) and keep whichever plane
-        # scores best under the same acceptance NCC.
+        # the optimized patch as the seed) and keep whichever field
+        # scores best under propagation-style view selection. Box NCC on
+        # the EXTRAPOLATED field is coherent around the boundary (the
+        # window reads the donor plane), unlike on the raw field.
         shifts = ((0, 1), (0, -1), (1, 0), (-1, 0))
         for _ in range(2):
             cd = jnp.stack([
@@ -693,7 +681,12 @@ def _solve_view_sweep(ref, neigh, nvalid, T, tvec, ray_z,
                              for dy, dx in shifts])
             czy = jnp.stack([jnp.roll(bzy, (dy, dx), (0, 1))
                              for dy, dx in shifts])
-            cs = plane_scores(cd, czx, czy)
+            ncc_g, ok_g = _ncc_box_all(ref, rstats, neigh, nvalid, T,
+                                       tvec, ray_z, cd, fw)
+            ncc_g = jnp.where(ok_g & nvalid[:, None, None, None],
+                              ncc_g, -1.0)
+            cs = jnp.stack([select_and_mean(ncc_g[:, ki], cd[ki])
+                            for ki in range(len(shifts))])
             alld = jnp.concatenate([bd[None], cd])
             allzx = jnp.concatenate([bzx[None], czx])
             allzy = jnp.concatenate([bzy[None], czy])
@@ -703,6 +696,18 @@ def _solve_view_sweep(ref, neigh, nvalid, T, tvec, ray_z,
             bd, bzx, bzy, bs = (take(alld), take(allzx), take(allzy),
                                 take(alls))
 
+        # ONE final CENTER-PLANE acceptance pass at the converged plane
+        # (the reference's patch acceptance semantics,
+        # patch_sampler.cc getFastNCC): the whole window warps with the
+        # center pixel's plane, which stays well-defined right at depth
+        # boundaries where per-tap field warps collapse.
+        ncc_pl, valid_pl = _plane_tap_sums(
+            ref, neigh, T[:, None, None, None], tvec[:, None, None, None],
+            gather_all, ray_z, bd[None], bzx[None], bzy[None], fw, (Jn,))
+        ncc_pl = jnp.where(valid_pl & nvalid[:, None, None, None],
+                           ncc_pl, -1.0)[:, 0]
+        bs = jnp.maximum(bs, select_and_mean(ncc_pl, bd))
+
     # --- confidence + acceptance (patch_optimization.cc:120-142): the
     # reference's score is (MEAN selected NCC - acceptNCC)/(1 - accept)
     # — per-view NCC dips trigger view replacement during optimization
@@ -711,6 +716,18 @@ def _solve_view_sweep(ref, neigh, nvalid, T, tvec, ray_z,
     normal = _plane_normals(bd, bzx, bzy, ray_world, fw // 2)
     dotp = -jnp.sum(normal * ray_world, axis=-1)
     conf = jnp.where(dotp >= 0.2, conf, 0.0)
+    # Master-patch in-bounds requirement (patch_sampler.cc
+    # computeMasterSamples): the reference never reconstructs pixels
+    # whose 5x5 window leaves the reference image; our box sums zero-pad
+    # there, making border scores meaningless — garbage depths were the
+    # accepted-pixel RMSE tail.
+    Hh, Ww = bd.shape
+    r_b = fw // 2
+    yy = jnp.arange(Hh)[:, None]
+    xx = jnp.arange(Ww)[None, :]
+    in_master = ((yy >= r_b) & (yy < Hh - r_b)
+                 & (xx >= r_b) & (xx < Ww - r_b))
+    conf = jnp.where(in_master, conf, 0.0)
     accepted = conf > 0.0
     depth_out = jnp.where(accepted, bd, 0.0).astype(jnp.float32)
     dz_out = jnp.where(accepted[..., None],

@@ -24,7 +24,9 @@ from .common import Viewport, normalize_feature_positions
 class FeaturesOptions:
     max_image_size: int = 6_000_000  # pixels (sfmrecon.cc:48)
     sift_options: SiftOptions = dataclasses.field(default_factory=SiftOptions)
-    use_surf: bool = False
+    # SIFT+SURF is the reference default (sfmrecon.cc:96 FEATURE_ALL);
+    # SURF roughly doubles matchable features and with them track counts.
+    use_surf: bool = True
     verbose: bool = False
 
 
@@ -83,10 +85,8 @@ class Features:
     def compute_batched(self, images: List[np.ndarray],
                         viewports: List[Viewport]) -> None:
         """Batched SIFT across same-shape views (3 dispatches per octave
-        for the WHOLE batch); falls back per-view for mixed shapes or
-        when SURF is enabled."""
-        if self.opts.use_surf:
-            return self.compute(images, viewports)
+        for the WHOLE batch) + per-view SURF when enabled (FEATURE_ALL,
+        the reference default); falls back per-view for mixed shapes."""
         # Apply the same max-pixels policy first.
         import jax.numpy as jnp
 
@@ -100,16 +100,28 @@ class Features:
         from ..sift import detect_and_describe_batch
 
         results = detect_and_describe_batch(prepped, self.opts.sift_options)
-        for i, (img, vp, result) in enumerate(zip(prepped, viewports, results)):
+        if self.opts.use_surf:
+            from ..surf import detect_and_describe_batch as surf_batch
+
+            surf_results = surf_batch(prepped)
+        else:
+            surf_results = [None] * len(prepped)
+        for i, (img, vp, result, sresult) in enumerate(
+                zip(prepped, viewports, results, surf_results)):
             h, w = img.shape[:2]
             vp.width, vp.height = w, h
-            xy = np.stack([result.x, result.y], axis=1)
-            vp.positions = normalize_feature_positions(xy, w, h)
+            xs, ys = result.x, result.y
             vp.descriptors = result.descriptors
             vp.num_sift = len(result.x)
-            vp.track_ids = np.full(len(result.x), -1, np.int32)
-            xi = np.clip(np.round(result.x).astype(int), 0, w - 1)
-            yi = np.clip(np.round(result.y).astype(int), 0, h - 1)
+            if sresult is not None:
+                vp.surf_descriptors = sresult.descriptors
+                xs = np.concatenate([xs, sresult.x])
+                ys = np.concatenate([ys, sresult.y])
+            xy = np.stack([xs, ys], axis=1)
+            vp.positions = normalize_feature_positions(xy, w, h)
+            vp.track_ids = np.full(len(xs), -1, np.int32)
+            xi = np.clip(np.round(xs).astype(int), 0, w - 1)
+            yi = np.clip(np.round(ys).astype(int), 0, h - 1)
             if img.ndim == 3 and img.shape[2] >= 3:
                 colors = img[yi, xi, :3]
             else:

@@ -346,6 +346,154 @@ def _descriptors(sat, kx, ky, kscale, kori, valid, upright: bool = False):
 # driver
 # ---------------------------------------------------------------------------
 
+def _pow2(n: int, minimum: int = 256) -> int:
+    size = minimum
+    while size < n:
+        size *= 2
+    return size
+
+
+@functools.partial(jax.jit, static_argnames=("octave", "H", "W", "cap",
+                                             "contrast_thr"))
+def _octave_full(sat, octave: int, H: int, W: int, cap: int,
+                 contrast_thr: float):
+    """One SURF octave WITHOUT host round trips: response maps -> NMS ->
+    top-`cap` candidates -> localization -> device compaction. The
+    per-view driver synced to the host ~6 times per octave (2s/image
+    over the remote tunnel); this is one dispatch per octave and the
+    batch path vmaps it over all views.
+
+    Returns (x, y, scale, keep) padded to cap, strongest-first."""
+    step = 2 ** octave
+    oh = (H + step - 1) // step
+    ow = (W + step - 1) // step
+    resp = jnp.stack([_response_map(sat, octave, s, H, W)
+                      for s in range(4)])
+    mask = _nms_mask(resp)                                   # (2, oh, ow)
+    strength = jnp.where(mask, resp[1:3], -jnp.inf)
+    flat = strength.reshape(-1)
+    k = min(cap, flat.shape[0])
+    vals, idx = jax.lax.top_k(flat, k)
+    valid = vals > -jnp.inf
+    si = (idx // (oh * ow)).astype(jnp.int32) + 1
+    rem = idx % (oh * ow)
+    iy = (rem // ow).astype(jnp.int32)
+    ix = (rem % ow).astype(jnp.int32)
+    ix = jnp.where(valid, ix, 2)
+    iy = jnp.where(valid, iy, 2)
+    isamp = jnp.where(valid, si, 1)
+    fx, fy, fs_, keep = _localize(resp, ix, iy, isamp, valid, contrast_thr)
+    sampling = float(step)
+    x_img = (ix.astype(jnp.float32) + fx) * sampling
+    y_img = (iy.astype(jnp.float32) + fy) * sampling
+    samp_f = isamp.astype(jnp.float32) + fs_
+    in_img = ((x_img >= 0) & (x_img + 1 <= W)
+              & (y_img >= 0) & (y_img + 1 <= H))
+    keep = keep & in_img & valid
+    samp_round = jnp.clip(jnp.round(samp_f), 0, 3).astype(jnp.int32)
+    ksizes = jnp.asarray(KERNEL_SIZES[octave], jnp.float32)[samp_round]
+    scales = 3.0 * ksizes * 1.2 / 9.0
+    # Compact (stable argsort on validity keeps strongest-first order;
+    # slots are already capped).
+    if k < cap:
+        pad = cap - k
+        x_img = jnp.pad(x_img, (0, pad))
+        y_img = jnp.pad(y_img, (0, pad))
+        scales = jnp.pad(scales, (0, pad), constant_values=1.0)
+        keep = jnp.pad(keep, (0, pad))
+    # Keep cap//4 slots for the orientation/descriptor stages: the
+    # localization survivor count runs ~7x below the detect cap, and the
+    # stable argsort keeps strongest-first so any overflow drops the
+    # weakest (same budget trick as sift._compact_keypoints).
+    out_cap = max(cap // 4, 256)
+    order = jnp.argsort(~keep, stable=True)[:out_cap]
+    kx = x_img[order]
+    ky = y_img[order]
+    ks = scales[order]
+    kv = keep[order]
+    kx = jnp.where(kv, kx, W / 2.0)
+    ky = jnp.where(kv, ky, H / 2.0)
+    ks = jnp.where(kv, ks, 1.0)
+    return kx, ky, ks, kv
+
+
+def _gray_u8(image) -> np.ndarray:
+    """Pure-numpy grayscale (lightness mode, the reference feeds SURF
+    byte images); eager-jnp conversions cost tunnel round trips."""
+    img = np.asarray(image)
+    if img.ndim == 3 and img.shape[2] >= 3:
+        f = image_tools.to_float(img)
+        gray = 0.5 * (np.maximum(np.maximum(f[:, :, 0], f[:, :, 1]), f[:, :, 2])
+                      + np.minimum(np.minimum(f[:, :, 0], f[:, :, 1]), f[:, :, 2]))
+        return (gray * 255.0 + 0.5).astype(np.uint8)
+    if img.dtype == np.uint8:
+        return img if img.ndim == 2 else img[:, :, 0]
+    return (image_tools.to_float(img)[:, :, 0] * 255.0 + 0.5).astype(np.uint8)
+
+
+def detect_and_describe_batch(images, options: SurfOptions = SurfOptions()):
+    """SURF over a batch of SAME-SHAPE images, one vmapped dispatch
+    chain per octave (the SIFT batch pattern). Returns [SurfResult]."""
+    grays = [_gray_u8(im) for im in images]
+    if len(set(g.shape for g in grays)) != 1:
+        return [detect_and_describe(im, options) for im in images]
+    B = len(grays)
+    H, W = grays[0].shape
+    sat = jax.vmap(_build_sat)(jnp.asarray(np.stack(grays)))
+
+    pending = []
+    for octave in range(4):
+        step = 2 ** octave
+        oh, ow = (H + step - 1) // step, (W + step - 1) // step
+        if oh < 8 or ow < 8:
+            break
+        cap = min(_pow2(options.max_keypoints_per_octave),
+                  _pow2(max(256, 2 * oh * ow // 64)))
+        det = jax.vmap(lambda s: _octave_full(
+            s, octave, H, W, cap, options.contrast_threshold))(sat)
+        kx, ky, ks, kv = det
+        if options.use_upright_descriptor:
+            ori = jnp.zeros_like(kx)
+            ov = kv
+        else:
+            ori, ov = jax.vmap(_orientations)(sat, kx, ky, ks, kv)
+        desc, ok = jax.vmap(lambda s, x, y, sc, o, v: _descriptors(
+            s, x, y, sc, o, v, upright=options.use_upright_descriptor))(
+                sat, kx, ky, ks, ori, ov)
+        pending.append((kx, ky, ks, ori, desc, ok))
+
+    results = [dict(x=[], y=[], scale=[], ori=[], desc=[])
+               for _ in range(B)]
+    for kx, ky, ks, ori, desc, ok in pending:
+        ok_np = np.asarray(ok)
+        kx, ky, ks = np.asarray(kx), np.asarray(ky), np.asarray(ks)
+        ori, desc = np.asarray(ori), np.asarray(desc)
+        for b in range(B):
+            sel = ok_np[b]
+            if not sel.any():
+                continue
+            results[b]["x"].append(kx[b][sel])
+            results[b]["y"].append(ky[b][sel])
+            results[b]["scale"].append(ks[b][sel])
+            results[b]["ori"].append(ori[b][sel])
+            results[b]["desc"].append(desc[b][sel])
+    out = []
+    for r in results:
+        if r["x"]:
+            out.append(SurfResult(
+                np.concatenate(r["x"]).astype(np.float32),
+                np.concatenate(r["y"]).astype(np.float32),
+                np.concatenate(r["scale"]).astype(np.float32),
+                np.concatenate(r["ori"]).astype(np.float32),
+                np.concatenate(r["desc"]).astype(np.float32)))
+        else:
+            out.append(SurfResult(
+                np.zeros(0, np.float32), np.zeros(0, np.float32),
+                np.zeros(0, np.float32), np.zeros(0, np.float32),
+                np.zeros((0, 64), np.float32)))
+    return out
+
+
 def detect_and_describe(image, options: SurfOptions = SurfOptions()) -> SurfResult:
     """Run SURF on one image (Surf::process equivalent, surf.cc:49)."""
     img = np.asarray(image)

@@ -44,3 +44,28 @@ def test_surf_upright():
     res = detect_and_describe(_u8(img), SurfOptions(use_upright_descriptor=True))
     assert len(res) >= 4
     np.testing.assert_allclose(res.orientation, 0.0)
+
+
+def test_surf_batch_matches_per_view():
+    """detect_and_describe_batch (the sfmrecon path) agrees with the
+    per-view driver: same keypoints within rounding, high descriptor
+    overlap."""
+    import numpy as np
+
+    from mve_tpu.sfm.surf import detect_and_describe, detect_and_describe_batch
+    from tests.synthetic import make_texture, make_cameras, render_view
+
+    tex = make_texture(seed=5)
+    cams = make_cameras(2, seed=5)
+    imgs = [render_view(tex, c, 160, 120) for c in cams]
+    batch = detect_and_describe_batch(imgs)
+    for img, rb in zip(imgs, batch):
+        rs = detect_and_describe(img)
+        assert abs(len(rb.x) - len(rs.x)) <= 0.05 * max(len(rs.x), 1), \
+            (len(rb.x), len(rs.x))
+        # Match by position: each batch keypoint has a per-view twin.
+        if len(rs.x) and len(rb.x):
+            d = np.hypot(rb.x[:, None] - rs.x[None, :],
+                         rb.y[:, None] - rs.y[None, :])
+            nn = d.min(axis=1)
+            assert (nn < 0.5).mean() > 0.95
