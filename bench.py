@@ -137,12 +137,14 @@ def kernel_throughput() -> dict:
 
     def _time_matcher(fn):
         jax.block_until_ready(fn(d1s[0], d2s[0]))
-        times = []
-        for i in range(1, NB):
-            t0 = time.perf_counter()
-            jax.block_until_ready(fn(d1s[i], d2s[i]))
-            times.append(time.perf_counter() - t0)
-        dt = sorted(times)[len(times) // 2]  # median single-call latency
+        # Queue one call per UNIQUE buffer pair and sync once: unique
+        # inputs defeat the execution-result cache while the single sync
+        # amortizes the tunnel round trip (which dwarfs the kernel:
+        # per-call sync measured ~0.2 TFLOP/s for a 0.2ms kernel).
+        t0 = time.perf_counter()
+        out = [fn(d1s[i], d2s[i])[0] for i in range(1, NB)]
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / (NB - 1)
         return round(2.0 * N * M * 128 / dt / 1e12, 3)
 
     out["matching_tflops_xla"] = _time_matcher(descriptor_top2)
