@@ -431,9 +431,24 @@ def _gray_u8(image) -> np.ndarray:
     return (image_tools.to_float(img)[:, :, 0] * 255.0 + 0.5).astype(np.uint8)
 
 
+_MAX_SURF_BATCH = 10  # views per vmapped dispatch (bounds HBM + keeps
+# one compiled shape for any scene size; matches sift._MAX_FEATURE_BATCH)
+
+
 def detect_and_describe_batch(images, options: SurfOptions = SurfOptions()):
     """SURF over a batch of SAME-SHAPE images, one vmapped dispatch
-    chain per octave (the SIFT batch pattern). Returns [SurfResult]."""
+    chain per octave (the SIFT batch pattern). Larger batches process in
+    sub-batches of _MAX_SURF_BATCH (the last padded by repetition).
+    Returns [SurfResult]."""
+    if len(images) > _MAX_SURF_BATCH:
+        out = []
+        for i in range(0, len(images), _MAX_SURF_BATCH):
+            sub = list(images[i:i + _MAX_SURF_BATCH])
+            n_real = len(sub)
+            if n_real < _MAX_SURF_BATCH:
+                sub += [sub[-1]] * (_MAX_SURF_BATCH - n_real)
+            out.extend(detect_and_describe_batch(sub, options)[:n_real])
+        return out
     grays = [_gray_u8(im) for im in images]
     if len(set(g.shape for g in grays)) != 1:
         return [detect_and_describe(im, options) for im in images]
