@@ -298,17 +298,28 @@ def run_measurement():
     build_dataset(scene_warm)
     run_pipeline(scene_warm, base)
 
-    # Measured run on a fresh scene (no prebundle cache reuse).
-    build_dataset(scene_meas)
-    stats = run_pipeline(scene_meas, base)
+    if os.environ.get("MVE_TPU_BENCH_LARGE_ONLY") == "1":
+        # Re-run ONLY the large config (after the warmup pipeline):
+        # avoids repeating the measured 10-view run when iterating on
+        # the 100-view numbers. Implies MVE_TPU_BENCH_FULL.
+        os.environ["MVE_TPU_BENCH_FULL"] = "1"
+        stats = {"total_s": 0.0, "skipped": "large-only"}
+    else:
+        # Measured run on a fresh scene (no prebundle cache reuse).
+        build_dataset(scene_meas)
+        stats = run_pipeline(scene_meas, base)
+    large_only = os.environ.get("MVE_TPU_BENCH_LARGE_ONLY") == "1"
     try:
-        stats["fssr_scale_diverse"] = fssr_scale_diverse()
+        if not large_only:
+            stats["fssr_scale_diverse"] = fssr_scale_diverse()
     except Exception as exc:
         import traceback
 
         traceback.print_exc(file=sys.stderr)
         stats["fssr_scale_diverse"] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
     try:
+        if large_only:
+            raise RuntimeError("skipped in large-only mode")
         stats.update(kernel_throughput())
     except Exception as exc:  # throughput probes must not sink the bench
         # ... but their failure must be VISIBLE in the recorded result
@@ -326,7 +337,7 @@ def run_measurement():
         with open(baseline_file) as f:
             baseline = json.load(f)
         ref_s = baseline.get("reference_pipeline_s")
-        if ref_s:
+        if ref_s and stats.get("total_s"):
             vs_baseline = ref_s / stats["total_s"]
 
     # Stage-level regression guard (VERDICT r04 weak #2: a 50% feature

@@ -309,9 +309,11 @@ def _run_batch(prepared: list, s: Settings):
 
 def _batch_size_limit(H: int, W: int, J: int, s: Settings) -> int:
     """Views per solver dispatch, bounded so the biggest score tensors
-    (J x chunk x H x W floats, a handful live at once) stay within a
-    fixed HBM budget."""
-    per_view = max(J, 1) * 8 * H * W
+    stay within a fixed HBM budget. The r05 center-plane acceptance and
+    growing passes hold (J, K<=5, H, W) tap intermediates — 3x the old
+    estimate; the previous factor OOM-crashed the TPU worker on the
+    100-view config (J=20, batch 32)."""
+    per_view = max(J, 1) * 24 * H * W
     return max(1, int(1.0e8 // per_view))
 
 
