@@ -62,7 +62,8 @@ def run_pipeline(scene_path: str, out_dir: str, verbose: bool = False) -> dict:
     from mve_tpu.apps import sfmrecon as _sfmapp
 
     for key in ("features_ms", "matching_ms", "incremental_ms",
-                "undistort_ms", "n_features", "n_cameras", "n_tracks"):
+                "undistort_ms", "n_features", "n_cameras", "n_tracks",
+                "incremental_phases"):
         if key in _sfmapp.LAST_TIMINGS:
             t[f"sfm_{key}" if key.endswith("_ms") else key] = (
                 _sfmapp.LAST_TIMINGS[key])

@@ -297,6 +297,10 @@ def sfm_reconstruct(scene_path: str, *, max_pixels: int = 6_000_000,
     log_timing("sfm", timer.get_elapsed())
     log_timing("total", total_timer.get_elapsed())
     LAST_TIMINGS["incremental_ms"] = timer.get_elapsed()
+    from ..sfm.bundler.pipeline import LAST_PHASE_MS
+
+    LAST_TIMINGS["incremental_phases"] = {
+        k: int(v) for k, v in sorted(LAST_PHASE_MS.items())}
     timer.reset()
 
     # Save bundle + apply cameras + undistort (sfmrecon.cc:400-444).

@@ -31,9 +31,27 @@ class SfmOptions:
     verbose: bool = False
 
 
+#: Per-phase wall-clock of the last run_incremental_sfm call (ms).
+LAST_PHASE_MS: dict = {}
+
+
 def run_incremental_sfm(viewports: List[Viewport],
                         pairwise_matching: List[TwoViewMatching],
                         opts: Optional[SfmOptions] = None) -> Incremental:
+    import time as _time
+    from collections import defaultdict
+
+    phase_ms = defaultdict(float)
+    LAST_PHASE_MS.clear()
+    LAST_PHASE_MS.update(phase_ms)
+
+    def timed(name, fn, *a, **kw):
+        t0 = _time.perf_counter()
+        out = fn(*a, **kw)
+        phase_ms[name] += (_time.perf_counter() - t0) * 1000.0
+        LAST_PHASE_MS.update(phase_ms)
+        return out
+
     opts = opts or SfmOptions()
 
     tracks = Tracks(TracksOptions(verbose=opts.verbose)).compute(
@@ -57,20 +75,20 @@ def run_incremental_sfm(viewports: List[Viewport],
 
     incremental = Incremental(opts.incremental_opts)
     incremental.initialize(viewports, tracks, opts.survey_points)
-    incremental.triangulate_new_tracks(2)
-    incremental.invalidate_large_error_tracks()
-    incremental.bundle_adjustment_full()
+    timed('triangulate', incremental.triangulate_new_tracks, 2)
+    timed('invalidate', incremental.invalidate_large_error_tracks)
+    timed('ba_full', incremental.bundle_adjustment_full)
 
     num_cameras_reconstructed = 2
     full_ba_num_skipped = 0
     while True:
-        next_views = incremental.find_next_views()
+        next_views = timed('find_next_views', incremental.find_next_views)
         next_view_id = -1
         for vid in next_views:
             if opts.verbose:
                 print(f"Adding next view ID {vid} "
                       f"({num_cameras_reconstructed + 1} of {len(viewports)})...")
-            if incremental.reconstruct_next_view(vid):
+            if timed('resection', incremental.reconstruct_next_view, vid):
                 next_view_id = vid
                 break
         if next_view_id < 0:
@@ -78,13 +96,13 @@ def run_incremental_sfm(viewports: List[Viewport],
                 if opts.verbose:
                     print("No valid next view. SfM reconstruction finished.")
                 break
-            incremental.triangulate_new_tracks(opts.min_views_per_track)
-            incremental.bundle_adjustment_full()
-            incremental.invalidate_large_error_tracks()
+            timed('triangulate', incremental.triangulate_new_tracks, opts.min_views_per_track)
+            timed('ba_full', incremental.bundle_adjustment_full)
+            timed('invalidate', incremental.invalidate_large_error_tracks)
             full_ba_num_skipped = 0
             continue
 
-        incremental.bundle_adjustment_single_cam(next_view_id)
+        timed('ba_single', incremental.bundle_adjustment_single_cam, next_view_id)
         num_cameras_reconstructed += 1
 
         full_ba_skip_views = 0 if opts.always_full_ba else min(
@@ -92,10 +110,10 @@ def run_incremental_sfm(viewports: List[Viewport],
         if full_ba_num_skipped < full_ba_skip_views:
             full_ba_num_skipped += 1
         else:
-            incremental.triangulate_new_tracks(opts.min_views_per_track)
-            incremental.try_restore_tracks_for_views()
-            incremental.bundle_adjustment_full()
-            incremental.invalidate_large_error_tracks()
+            timed('triangulate', incremental.triangulate_new_tracks, opts.min_views_per_track)
+            timed('restore', incremental.try_restore_tracks_for_views)
+            timed('ba_full', incremental.bundle_adjustment_full)
+            timed('invalidate', incremental.invalidate_large_error_tracks)
             full_ba_num_skipped = 0
 
     if opts.normalize_scene:
