@@ -100,7 +100,7 @@ def run_pipeline(scene_path: str, out_dir: str, verbose: bool = False) -> dict:
     t["n_faces"] = surf.num_faces()
     from mve_tpu.apps import fssrecon as _fssrapp
 
-    for key in ("load_ms", "eval_ms", "extract_ms", "n_samples", "n_voxels"):
+    for key in ("load_ms", "octree_ms", "eval_ms", "extract_ms", "n_samples", "n_voxels"):
         if key in _fssrapp.LAST_STATS:
             t[f"fssr_{key}"] = _fssrapp.LAST_STATS[key]
     t["total_s"] = t["sfm_s"] + t["mvs_s"] + t["pset_s"] + t["fssr_s"]

@@ -120,6 +120,7 @@ def fssr_reconstruct(input_paths, output_path: str | None = None, *,
 
         dc = DualContouring(samples, max_level=max_level,
                             interpolation=interpolation)
+        LAST_STATS["octree_ms"] = timer.get_elapsed()
         if verbose:
             print(f"Octree with {len(dc.octree.leaf_level)} leaves, "
                   f"took {timer.get_elapsed()}ms.")
