@@ -268,77 +268,101 @@ class Incremental:
                 print("Triangulated 0 new tracks.")
             return
 
-        pmats = {i: vp.pose.fill_p_matrix() for i, vp in enumerate(self.viewports)
-                 if valid_pose[i]}
-        centers = {i: vp.pose.fill_camera_pos() for i, vp in enumerate(self.viewports)
-                   if valid_pose[i]}
+        n_valid_views = len(self.viewports)
+        pm_all = np.zeros((n_valid_views, 3, 4))
+        ctr_all = np.zeros((n_valid_views, 3))
+        for i, vp in enumerate(self.viewports):
+            if valid_pose[i]:
+                pm_all[i] = vp.pose.fill_p_matrix()
+                ctr_all[i] = vp.pose.fill_camera_pos()
 
-        # ---- flatten all pose pairs of all candidate tracks.
-        rows_t, rows_pa, rows_pb = [], [], []
-        Pa, Pb, Ca, Cb = [], [], [], []
+        # ---- per-candidate padded view tables (built once, reused by
+        # the pair expansion AND the outlier projection).
+        C_n = len(cand_tracks)
+        nviews = np.array([len(v) for v in obs_views], np.int64)
+        Vmax = int(nviews.max())
+        pad_vid = np.zeros((C_n, Vmax), np.int64)
+        pad_obs = np.zeros((C_n, Vmax, 2))
+        pad_valid = np.zeros((C_n, Vmax), bool)
         for ci, (vids, ps) in enumerate(zip(obs_views, obs_pos)):
-            V = len(vids)
-            for a in range(V):
-                for b in range(a + 1, V):
-                    rows_t.append(ci)
-                    rows_pa.append(ps[a])
-                    rows_pb.append(ps[b])
-                    Pa.append(pmats[vids[a]])
-                    Pb.append(pmats[vids[b]])
-                    Ca.append(centers[vids[a]])
-                    Cb.append(centers[vids[b]])
-        rows_t = np.array(rows_t, np.int64)
-        pa = np.asarray(rows_pa)
-        pb = np.asarray(rows_pb)
-        Pa = np.asarray(Pa)
-        Pb = np.asarray(Pb)
-        Ca = np.asarray(Ca)
-        Cb = np.asarray(Cb)
+            pad_vid[ci, :len(vids)] = vids
+            pad_obs[ci, :len(vids)] = ps
+            pad_valid[ci, :len(vids)] = True
+        pad_P = pm_all[pad_vid] * pad_valid[:, :, None, None]
+
+        # ---- pose pairs, vectorized by view-count group (the per-pair
+        # Python loop dominated 100-view incremental wall-clock: late
+        # full-BA rounds see tracks with dozens of valid views, i.e.
+        # V(V-1)/2 pairs each).
+        rows_t_l, pa_l, pb_l, ia_l, ib_l = [], [], [], [], []
+        cand_idx = np.arange(C_n)
+        for V in np.unique(nviews):
+            sel = cand_idx[nviews == V]
+            ai, bi = np.triu_indices(int(V), k=1)
+            P2 = len(ai)
+            if P2 == 0:
+                continue
+            rows_t_l.append(np.repeat(sel, P2))
+            pa_l.append(pad_obs[sel][:, ai].reshape(-1, 2))
+            pb_l.append(pad_obs[sel][:, bi].reshape(-1, 2))
+            ia_l.append(np.tile(ai, len(sel)))
+            ib_l.append(np.tile(bi, len(sel)))
+        rows_t = np.concatenate(rows_t_l)
+        pa = np.concatenate(pa_l)
+        pb = np.concatenate(pb_l)
+        ia = np.concatenate(ia_l)
+        ib = np.concatenate(ib_l)
+        Pa = pad_P[rows_t, ia]
+        Pb = pad_P[rows_t, ib]
+        Ca = ctr_all[pad_vid[rows_t, ia]]
+        Cb = ctr_all[pad_vid[rows_t, ib]]
         R = len(rows_t)
 
-        # ---- batched two-view DLT (numpy; 4x4 SVDs are host-cheap).
-        A = np.stack([
-            pa[:, 0, None] * Pa[:, 2] - Pa[:, 0],
-            pa[:, 1, None] * Pa[:, 2] - Pa[:, 1],
-            pb[:, 0, None] * Pb[:, 2] - Pb[:, 0],
-            pb[:, 1, None] * Pb[:, 2] - Pb[:, 1],
-        ], axis=1)  # (R, 4, 4)
-        _, _, vt = np.linalg.svd(A)
-        Xh = vt[:, -1, :]
-        w = Xh[:, 3]
-        X = Xh[:, :3] / np.where(np.abs(w[:, None]) < 1e-30, 1e-30, w[:, None])
-        finite = np.isfinite(X).all(axis=1)
+        # ---- batched two-view DLT + angle check + padded outlier
+        # counts, CHUNKED over pair rows: R x Vmax projection tensors at
+        # 100-view scale otherwise peak at many GB of RSS.
+        X = np.zeros((R, 3))
+        n_out = np.zeros(R, np.int64)
+        usable = np.zeros(R, bool)
+        outlier_rows = np.zeros((R, Vmax), bool)
+        CH = 200_000
+        for c0 in range(0, R, CH):
+            sl = slice(c0, min(c0 + CH, R))
+            A = np.stack([
+                pa[sl, 0, None] * Pa[sl, 2] - Pa[sl, 0],
+                pa[sl, 1, None] * Pa[sl, 2] - Pa[sl, 1],
+                pb[sl, 0, None] * Pb[sl, 2] - Pb[sl, 0],
+                pb[sl, 1, None] * Pb[sl, 2] - Pb[sl, 1],
+            ], axis=1)  # (r, 4, 4)
+            _, _, vt = np.linalg.svd(A)
+            Xh = vt[:, -1, :]
+            w = Xh[:, 3]
+            Xc = Xh[:, :3] / np.where(np.abs(w[:, None]) < 1e-30, 1e-30,
+                                      w[:, None])
+            finite = np.isfinite(Xc).all(axis=1)
+            r0 = Xc - Ca[sl]
+            r1 = Xc - Cb[sl]
+            n0 = np.linalg.norm(r0, axis=1)
+            n1 = np.linalg.norm(r1, axis=1)
+            cosang = np.sum(r0 * r1, axis=1) / np.maximum(n0 * n1, 1e-30)
+            angle_ok = cosang <= cos_angle_thr
 
-        # Angle check.
-        r0 = X - Ca
-        r1 = X - Cb
-        n0 = np.linalg.norm(r0, axis=1)
-        n1 = np.linalg.norm(r1, axis=1)
-        cosang = np.sum(r0 * r1, axis=1) / np.maximum(n0 * n1, 1e-30)
-        angle_ok = cosang <= cos_angle_thr
-
-        # ---- outlier counts: project X of each row into every view of
-        # its track (padded).
-        Vmax = max(len(v) for v in obs_views)
-        pad_P = np.zeros((len(cand_tracks), Vmax, 3, 4))
-        pad_obs = np.zeros((len(cand_tracks), Vmax, 2))
-        pad_valid = np.zeros((len(cand_tracks), Vmax), bool)
-        for ci, (vids, ps) in enumerate(zip(obs_views, obs_pos)):
-            for k, vid in enumerate(vids):
-                pad_P[ci, k] = pmats[vid]
-                pad_obs[ci, k] = ps[k]
-                pad_valid[ci, k] = True
-        rp = pad_P[rows_t]        # (R, Vmax, 3, 4)
-        robs = pad_obs[rows_t]
-        rvalid = pad_valid[rows_t]
-        Xh1 = np.concatenate([X, np.ones((R, 1))], axis=1)
-        proj = np.einsum("rvij,rj->rvi", rp, Xh1)
-        behind = proj[..., 2] <= 0.0
-        uv = proj[..., :2] / np.where(np.abs(proj[..., 2:]) < 1e-30, 1e-30, proj[..., 2:])
-        err = np.linalg.norm(uv - robs, axis=-1)
-        outlier = (behind | (err > error_thr)) & rvalid
-        n_out = outlier.sum(axis=1)
-        usable = finite & angle_ok
+            rt = rows_t[sl]
+            rp = pad_P[rt]
+            robs = pad_obs[rt]
+            rvalid = pad_valid[rt]
+            Xh1 = np.concatenate([Xc, np.ones((len(Xc), 1))], axis=1)
+            proj = np.einsum("rvij,rj->rvi", rp, Xh1)
+            behind = proj[..., 2] <= 0.0
+            uv = proj[..., :2] / np.where(
+                np.abs(proj[..., 2:]) < 1e-30, 1e-30, proj[..., 2:])
+            err = np.linalg.norm(uv - robs, axis=-1)
+            out = (behind | (err > error_thr)) & rvalid
+            X[sl] = Xc
+            outlier_rows[sl] = out
+            n_out[sl] = out.sum(axis=1)
+            usable[sl] = finite & angle_ok
+        outlier = outlier_rows
         n_out_eff = np.where(usable, n_out, Vmax + 1)
 
         # ---- best pair per track.
