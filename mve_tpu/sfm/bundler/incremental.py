@@ -13,7 +13,6 @@ import dataclasses
 from typing import List, Optional
 
 import numpy as np
-import jax.numpy as jnp
 
 from ...core.bundle import Bundle, Feature2D, Feature3D
 from ...core.camera import CameraInfo
