@@ -98,3 +98,77 @@ def test_prebundle_roundtrip(tmp_path):
     assert len(match) == len(matching)
     np.testing.assert_allclose(vps[0].positions, viewports[0].positions)
     np.testing.assert_array_equal(match[0].matches, matching[0].matches)
+
+
+def test_triangulate_new_tracks_groups_and_splits():
+    """Pair-exhaustive triangulation (vectorized per view-count group):
+    tracks seen in 2..6 views triangulate to their true 3D points, and
+    an observation with a corrupted feature position is split off into a
+    new track (triangulate.cc best-pair outlier semantics)."""
+    import numpy as np
+
+    from mve_tpu.sfm.bundler.common import FeatureReference, Track, Viewport
+    from mve_tpu.sfm.bundler.incremental import Incremental
+    from mve_tpu.sfm.pose import CameraPose
+
+    rng = np.random.RandomState(2)
+    n_views = 6
+    # Cameras on an arc looking at the origin-ish volume.
+    viewports = []
+    poses = []
+    for i in range(n_views):
+        theta = (i / (n_views - 1) - 0.5) * 1.0
+        center = np.array([4.0 * np.sin(theta), 0.1 * i, -4.0 * np.cos(theta)])
+        fwd = -center / np.linalg.norm(center)
+        right = np.cross([0.0, 1.0, 0.0], fwd)
+        right /= np.linalg.norm(right)
+        up = np.cross(fwd, right)
+        R = np.stack([right, up, fwd])
+        pose = CameraPose()
+        pose.set_k_matrix(0.9, 0.0, 0.0)
+        pose.R = R
+        pose.t = -R @ center
+        poses.append(pose)
+        vp = Viewport()
+        vp.focal_length = 0.9
+        vp.pose = pose
+        viewports.append(vp)
+
+    pts = rng.uniform(-0.5, 0.5, (8, 3))
+    # Track i observed in views 0..(2 + i % 5): view-count groups 2..6.
+    tracks = []
+    per_view_positions = [[] for _ in range(n_views)]
+    for ti, X in enumerate(pts):
+        track = Track()
+        nv = 2 + (ti % 5)
+        for v in range(nv):
+            x = poses[v].R @ X + poses[v].t
+            uv = 0.9 * x[:2] / x[2]
+            if ti == 4 and v == 1:
+                uv = uv + 0.3  # corrupted observation -> outlier
+            fid = len(per_view_positions[v])
+            per_view_positions[v].append(uv)
+            track.features.append(FeatureReference(v, fid))
+        tracks.append(track)
+    for v, vp in enumerate(viewports):
+        vp.positions = np.asarray(per_view_positions[v], np.float32)
+        vp.track_ids = np.full(len(vp.positions), -1, np.int32)
+    for ti, track in enumerate(tracks):
+        for ref in track.features:
+            viewports[ref.view_id].track_ids[ref.feature_id] = ti
+
+    inc = Incremental()
+    inc.initialize(viewports, tracks)
+    inc.triangulate_new_tracks(2)
+
+    n_before = len(pts)
+    for ti in range(n_before):
+        assert tracks[ti].is_valid(), f"track {ti} not triangulated"
+        err = np.linalg.norm(tracks[ti].pos - pts[ti])
+        assert err < 1e-3, f"track {ti} error {err}"
+    # The corrupted observation was split off track 4 (the 6-view one).
+    assert len(inc.tracks) == n_before + 1
+    assert len(tracks[4].features) == 5  # lost its outlier view
+    split = inc.tracks[-1]
+    assert not split.is_valid() and len(split.features) == 1
+    assert split.features[0].view_id == 1
