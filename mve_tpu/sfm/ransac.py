@@ -35,9 +35,27 @@ class RansacOptions:
 
 
 def _sample_indices(rng: np.random.RandomState, n: int, k: int, batch: int) -> np.ndarray:
-    """(batch, k) unique-per-row random index samples."""
-    out = np.empty((batch, k), np.int64)
-    for i in range(batch):
+    """(batch, k) unique-per-row random index samples.
+
+    Vectorized redraw-on-collision: rng.choice(replace=False) is O(n)
+    PER ROW, which made the 1000-hypothesis P3P sampler ~1s per
+    resection at 100-view correspondence counts (~17s of incremental
+    wall-clock). Collisions at k<=8, n>=2k are rare, so a few redraw
+    sweeps converge; tiny n falls back to the exact per-row draw."""
+    if n < 2 * k or k > 8:
+        out = np.empty((batch, k), np.int64)
+        for i in range(batch):
+            out[i] = rng.choice(n, size=k, replace=False)
+        return out
+    out = rng.randint(0, n, size=(batch, k))
+    for _ in range(64):
+        out_sorted = np.sort(out, axis=1)
+        bad = (out_sorted[:, 1:] == out_sorted[:, :-1]).any(axis=1)
+        if not bad.any():
+            return out
+        out[bad] = rng.randint(0, n, size=(int(bad.sum()), k))
+    # Pathological leftovers (shouldn't happen with the n >= 2k guard).
+    for i in np.nonzero(bad)[0]:
         out[i] = rng.choice(n, size=k, replace=False)
     return out
 
